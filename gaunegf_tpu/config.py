@@ -1,0 +1,106 @@
+"""Configuration for gaunegf_tpu.
+
+The reference (gauNEGF/config.py:1-34) uses module-level constants bound at
+import time.  Here the same names exist as module-level *defaults*, but all
+runtime behaviour is driven by frozen dataclasses that can be overridden per
+call / per driver instance (SURVEY.md section 7.1 design delta).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Module-level defaults (names match gauNEGF/config.py:7-33 exactly)
+# ---------------------------------------------------------------------------
+
+# Physical parameters
+TEMPERATURE = 0.0               # Kelvin - ambient temperature
+ETA = 1e-6                      # eV - broadening parameter
+ENERGY_STEP = 0.001             # eV - default energy step size
+
+# Contact tolerances
+FERMI_CALCULATION_TOL = 1e-3        # Fermi energy calculation tolerance
+FERMI_SEARCH_CYCLES = 10            # Cycles to run search before returning
+SURFACE_GREEN_CONVERGENCE = 1e-5    # Surface Green's function convergence
+SURFACE_RELAXATION_FACTOR = 0.1     # Mixing factor for surface-GF iteration
+
+# Integration parameters
+ADAPTIVE_INTEGRATION_TOL = 1e-4     # Adaptive integration tolerance
+N_KT = 10                           # Number of kT for integration limits
+ENERGY_MIN = -1e6                   # eV - lower bound for energy integration
+MAX_CYCLES = 1000                   # Maximum iteration cycles
+MAX_GRID_POINTS = 1000              # Maximum number of grid points
+
+# SCF parameters
+SCF_DAMPING = 0.02              # SCF damping parameter
+SCF_CONVERGENCE_TOL = 1e-3      # SCF convergence tolerance
+SCF_MAX_CYCLES = 100            # Maximum SCF cycles
+PULAY_MIXING_SIZE = 4           # Number of iterations for Pulay mixing
+
+# Logging
+LOG_LEVEL = "INFO"
+LOG_PERFORMANCE = False
+
+# Surface-GF iteration budgets (reference: surfG1D.py:265, surfGBethe.py:998)
+SURFACE_MAX_ITER_1D = 2000
+SURFACE_MAX_ITER_BETHE = 1000
+SURFACE_BETHE_MIX = 0.5
+
+# TPU execution parameters (new; no reference equivalent)
+DEFAULT_ENERGY_CHUNK = 32       # energies solved per device per jit step
+LU_BLOCK_SIZE = 128             # panel width for the blocked complex LU
+
+
+# ---------------------------------------------------------------------------
+# Frozen dataclass configs
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SurfaceConfig:
+    """Surface self-energy iteration settings (reference surfG1D.py:223-295)."""
+    conv: float = SURFACE_GREEN_CONVERGENCE
+    relaxation: float = SURFACE_RELAXATION_FACTOR
+    max_iter: int = SURFACE_MAX_ITER_1D
+    eta: float = ETA
+    method: str = "sancho"      # 'sancho' (fast decimation) or 'dyson' (reference-faithful)
+
+
+@dataclass(frozen=True)
+class IntegrationConfig:
+    """Quadrature / density integration settings (reference density.py)."""
+    tol: float = ADAPTIVE_INTEGRATION_TOL
+    n_kt: int = N_KT
+    e_min_inf: float = ENERGY_MIN
+    max_cycles: int = MAX_CYCLES
+    max_grid_points: int = MAX_GRID_POINTS
+    temperature: float = TEMPERATURE
+
+
+@dataclass(frozen=True)
+class SCFConfig:
+    """SCF driver settings (reference scf.py:691-813)."""
+    conv: float = SCF_CONVERGENCE_TOL
+    damping: float = SCF_DAMPING
+    max_cycles: int = SCF_MAX_CYCLES
+    pulay_size: int = PULAY_MIXING_SIZE
+    checkpoint: bool = True
+    pulay: bool = True
+
+
+@dataclass(frozen=True)
+class ExecutionConfig:
+    """TPU execution policy: precision, chunking and sharding."""
+    # 'fast'   : f32/complex64 blocked LU, no refinement
+    # 'mixed'  : f32 blocked LU + iterative refinement (default on TPU)
+    # 'strict' : complex128 LAPACK path (CPU) / x64 (where supported)
+    precision: str = "mixed"
+    refine_steps: int = 2
+    energy_chunk: int = DEFAULT_ENERGY_CHUNK
+    lu_block: int = LU_BLOCK_SIZE
+
+
+def replace(cfg, **kwargs):
+    """Functional update helper for the frozen configs."""
+    return dataclasses.replace(cfg, **kwargs)

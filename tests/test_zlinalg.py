@@ -1,0 +1,113 @@
+"""Tests for the blocked complex LU / inverse kernels (ops/zlinalg.py).
+
+Golden values come from NumPy f64 LAPACK; the blocked kernel must agree to
+near machine precision when run in complex128 and to ~1e-5 in complex64.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaunegf_tpu.ops import zlinalg as zl
+
+
+def _random_negf_matrix(rng, n, eta=0.05):
+    """A = E*S - H - Sigma: the characteristic NEGF matrix shape."""
+    H = rng.standard_normal((n, n))
+    H = (H + H.T) / 2
+    S = np.eye(n) + 0.05 * rng.standard_normal((n, n))
+    S = (S + S.T) / 2
+    sig = -1j * eta * np.eye(n)
+    E = 0.3
+    return E * S - H - sig
+
+
+@pytest.mark.parametrize("n", [5, 17, 64, 130, 300])
+def test_zinv_matches_lapack(rng, n):
+    A = _random_negf_matrix(rng, n).astype(np.complex128)
+    X = np.asarray(zl.zinv(jnp.asarray(A), method="blocked"))
+    X_ref = np.linalg.inv(A)
+    assert np.max(np.abs(X - X_ref)) < 1e-9 * np.max(np.abs(X_ref))
+
+
+@pytest.mark.parametrize("bs", [8, 32, 128])
+def test_zinv_block_sizes(rng, bs):
+    n = 100
+    A = _random_negf_matrix(rng, n).astype(np.complex128)
+    X = np.asarray(zl.zinv(jnp.asarray(A), method="blocked", bs=bs))
+    assert np.max(np.abs(A @ X - np.eye(n))) < 1e-9
+
+
+def test_zinv_batched(rng):
+    B, n = 6, 40
+    A = np.stack([_random_negf_matrix(rng, n) for _ in range(B)])
+    X = np.asarray(zl.zinv(jnp.asarray(A), method="blocked"))
+    for b in range(B):
+        assert np.max(np.abs(A[b] @ X[b] - np.eye(n))) < 1e-9
+
+
+def test_zsolve_rhs(rng):
+    n, k = 48, 7
+    A = _random_negf_matrix(rng, n)
+    B = rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))
+    X = np.asarray(zl.zsolve(jnp.asarray(A), jnp.asarray(B), method="blocked"))
+    assert np.max(np.abs(A @ X - B)) < 1e-9
+
+
+def test_zinv_needs_pivoting(rng):
+    # Leading zero diagonal entry: fails without partial pivoting.
+    n = 16
+    A = _random_negf_matrix(rng, n)
+    A[0, 0] = 0.0
+    A[1, 1] = 0.0
+    X = np.asarray(zl.zinv(jnp.asarray(A), method="blocked"))
+    assert np.max(np.abs(A @ X - np.eye(n))) < 1e-8
+
+
+def test_zinv_complex64_accuracy(rng):
+    n = 128
+    A = _random_negf_matrix(rng, n, eta=0.1).astype(np.complex64)
+    X = np.asarray(zl.zinv(jnp.asarray(A), method="blocked"))
+    X_ref = np.linalg.inv(A.astype(np.complex128))
+    rel = np.max(np.abs(X - X_ref)) / np.max(np.abs(X_ref))
+    assert rel < 5e-4
+
+
+def test_zinv_refined_accuracy(rng):
+    n = 128
+    A64 = _random_negf_matrix(rng, n, eta=0.1)
+    A = A64.astype(np.complex64)
+    X = np.asarray(zl.zinv_refined(jnp.asarray(A), steps=2, method="blocked"))
+    X_ref = np.linalg.inv(A64)
+    rel = np.max(np.abs(X - X_ref)) / np.max(np.abs(X_ref))
+    assert rel < 5e-6
+
+
+def test_fractional_matrix_power(rng):
+    n = 30
+    S = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    S = (S + S.T) / 2
+    X = np.asarray(zl.fractional_matrix_power(jnp.asarray(S), -0.5))
+    assert np.max(np.abs(X @ S @ X - np.eye(n))) < 1e-8
+
+
+def test_eig_matches_numpy(rng):
+    n = 20
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    w, v = zl.eig(jnp.asarray(A))
+    w, v = np.asarray(w), np.asarray(v)
+    # eigenvalue sets must agree (order-free)
+    w_ref = np.linalg.eigvals(A)
+    assert np.max(np.abs(np.sort_complex(w) - np.sort_complex(w_ref))) < 1e-9
+    assert np.max(np.abs(A @ v - v * w[None, :])) < 1e-8
+
+
+def test_matmul_hp(rng):
+    n = 64
+    a = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    b = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))).astype(np.complex64)
+    got = np.asarray(zl.matmul_hp(jnp.asarray(a), jnp.asarray(b)))
+    ref = a.astype(np.complex128) @ b.astype(np.complex128)
+    rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-6
