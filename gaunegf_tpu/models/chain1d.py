@@ -1,0 +1,339 @@
+"""Semi-infinite 1D-chain surface Green's function self-energy.
+
+Capability parity with surfG1D.surfG (surfG1D.py:13-399): three construction
+patterns (auto-extraction from F/S, custom coupling, fully specified
+contacts), chemical-potential shifting via set_fock, and the provider
+protocol sigma/sigmaTot.
+
+TPU-first design choices (vs the reference's per-call Dyson loop):
+
+* Two interchangeable fixed-point solvers, both jitted, vmappable over the
+  energy batch and free of data-dependent Python control flow:
+  - 'sancho': Lopez Sancho-Rubio decimation -- quadratic convergence
+    (~15 iterations replace the reference's <=2000 linear Dyson iterations,
+    surfG1D.py:264-295), implemented as a lax.while_loop whose state
+    converges per-lane under vmap.
+  - 'dyson': the reference's relaxed fixed point g <- inv(A - B g B+)
+    (mix 0.1, <=2000 iters) for bit-level behavioural comparison.
+* The provider is (params pytree, pure staticmethods), so the energy-batched
+  engines trace once and reuse the executable across SCF iterations
+  (the reference re-jits and even clears caches each voltage step,
+  scfE.py:208).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gaunegf_tpu.config import (
+    ETA, SURFACE_GREEN_CONVERGENCE, SURFACE_MAX_ITER_1D,
+    SURFACE_RELAXATION_FACTOR)
+from gaunegf_tpu.models.selfenergy import _CompatMixin
+from gaunegf_tpu.ops import zlinalg as zl
+
+__all__ = ["Chain1DSelfEnergy", "surface_g_sancho", "surface_g_dyson"]
+
+
+def _zinv(A):
+    return zl.zinv(A)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def surface_g_sancho(A, B, conv=SURFACE_GREEN_CONVERGENCE, max_iter=64):
+    """Surface GF g = inv(A - B g B+) by Sancho-Rubio decimation.
+
+    A = (E + i*eta) * S_alpha - alpha   (renormalized "omega - h" block)
+    B = (E + i*eta) * S_beta - beta     (renormalized hopping block)
+
+    Each iteration doubles the effective chain length, so convergence is
+    quadratic; the loop state is (eps_s, eps, al, be, diff, count).
+    """
+    dt = A.dtype
+
+    def cond(state):
+        eps_s, eps, al, be, diff, count = state
+        return (diff > conv) & (count < max_iter)
+
+    def body(state):
+        eps_s, eps, al, be, _, count = state
+        g = _zinv(eps)
+        agb = al @ g @ be
+        bga = be @ g @ al
+        eps_s_new = eps_s - agb
+        eps_new = eps - agb - bga
+        al_new = al @ g @ al
+        be_new = be @ g @ be
+        diff = jnp.max(jnp.abs(eps_s_new - eps_s)) / jnp.maximum(
+            jnp.max(jnp.abs(eps_s_new)), 1e-30)
+        return (eps_s_new, eps_new, al_new, be_new, diff, count + 1)
+
+    init = (A.astype(dt), A.astype(dt), B.astype(dt),
+            jnp.conj(B).T.astype(dt), jnp.inf, 0)
+    eps_s, *_ = lax.while_loop(cond, body, init)
+    return _zinv(eps_s)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def surface_g_dyson(A, B, conv=SURFACE_GREEN_CONVERGENCE,
+                    relax=SURFACE_RELAXATION_FACTOR,
+                    max_iter=SURFACE_MAX_ITER_1D):
+    """Reference-faithful relaxed Dyson fixed point (surfG1D.py:264-295).
+
+    g <- relax * inv(A - B g B+) + (1 - relax) * g, from g0 = inv(A),
+    with the same relative-change convergence metric.
+    """
+    B_dag = jnp.conj(B).T
+
+    def cond(state):
+        count, diff, g = state
+        return (diff > conv) & (count < max_iter)
+
+    def body(state):
+        count, diff, g = state
+        g_new = _zinv(A - B @ g @ B_dag)
+        dg = jnp.abs(g_new - g) / jnp.maximum(jnp.abs(g_new), 1e-12)
+        diff = jnp.max(dg)
+        g = g_new * relax + g * (1 - relax)
+        return (count + 1, diff, g)
+
+    count, diff, g = lax.while_loop(cond, body, (0, jnp.inf, _zinv(A)))
+    return g
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _chain_contact_fn(static_key, i: int):
+    """Pure sigma_i(params, E) with identity cached on the static geometry,
+    so engine jit caches survive SCF parameter updates."""
+    inds, N, eta, method, conv = (
+        static_key[0], static_key[1], static_key[2], static_key[3],
+        static_key[4])
+
+    def fn(params, E):
+        blk = Chain1DSelfEnergy._sigma_block(
+            params["contacts"][i], E, eta, conv, method)
+        sig = jnp.zeros((N, N), dtype=blk.dtype)
+        ix = np.ix_(np.asarray(inds[i]), np.asarray(inds[i]))
+        return sig.at[ix].add(blk)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _chain_total_fn(static_key):
+    inds = static_key[0]
+
+    def fn(params, E):
+        sig = _chain_contact_fn(static_key, 0)(params, E)
+        for i in range(1, len(inds)):
+            sig = sig + _chain_contact_fn(static_key, i)(params, E)
+        return sig
+
+    return fn
+
+
+class Chain1DSelfEnergy(_CompatMixin):
+    """1D-chain contact self-energy provider.
+
+    Construction patterns (mirroring surfG1D.py:83-165):
+
+    a) ``Chain1DSelfEnergy(F, S, [inds1, inds2])`` -- onsite and coupling
+       blocks extracted from F/S; the adjacent-cell indices default to
+       ``[inds2, inds1]`` (periodic 2-cell assumption).
+    b) ``Chain1DSelfEnergy(F, S, inds_list, taus=[ind1c, ind2c])`` -- contact
+       connection indices given; tau blocks read from F/S.
+    c) full specification with ``taus/staus`` as matrices and
+       ``alphas/a_overlaps/betas/b_overlaps``.
+    """
+
+    def __init__(self, Fock, Overlap, inds_list, taus=None, staus=None,
+                 alphas=None, a_overlaps=None, betas=None, b_overlaps=None,
+                 eta: float = ETA, method: str = "sancho",
+                 conv: float = SURFACE_GREEN_CONVERGENCE):
+        self.F = np.asarray(Fock, dtype=complex)
+        self.S = np.asarray(Overlap)
+        self.inds_list = [np.asarray(i, dtype=int) for i in inds_list]
+        self.eta = float(eta)
+        self.method = method
+        self.conv = float(conv)
+        self.fermi_list = [None] * len(self.inds_list)
+
+        if taus is None:
+            taus = [self.inds_list[-1], self.inds_list[0]]
+        taus = [np.asarray(t) for t in taus]
+        if taus[0].ndim == 1:
+            self.tau_from_fock = True
+            self.tau_inds = [t.astype(int) for t in taus]
+            self._extract_taus()
+        else:
+            self.tau_from_fock = False
+            self.tau_list = [np.asarray(t, dtype=complex) for t in taus]
+            self.stau_list = [np.asarray(st) for st in staus]
+
+        if alphas is None:
+            self.contact_from_fock = True
+            self._extract_contacts()
+        else:
+            self.contact_from_fock = False
+            self.a_list = [np.asarray(a, dtype=complex) for a in alphas]
+            self.aS_list = [np.asarray(a) for a in a_overlaps]
+            self.b_list = [np.asarray(b, dtype=complex) for b in betas]
+            self.bS_list = [np.asarray(b) for b in b_overlaps]
+
+    # -- construction helpers ------------------------------------------
+    def _extract_taus(self):
+        t0, t1 = self.tau_inds
+        i0, i1 = self.inds_list[0], self.inds_list[-1]
+        self.tau_list = [self.F[np.ix_(t0, i0)], self.F[np.ix_(t1, i1)]]
+        self.stau_list = [self.S[np.ix_(t0, i0)], self.S[np.ix_(t1, i1)]]
+
+    def _extract_contacts(self):
+        self.a_list = [self.F[np.ix_(i, i)] for i in self.inds_list]
+        self.aS_list = [self.S[np.ix_(i, i)] for i in self.inds_list]
+        self.b_list = [np.asarray(t) for t in self.tau_list]
+        self.bS_list = [np.asarray(t) for t in self.stau_list]
+
+    # -- pure API -------------------------------------------------------
+    def params(self):
+        return {
+            "contacts": tuple(
+                {
+                    "alpha": jnp.asarray(self.a_list[i]),
+                    "Salpha": jnp.asarray(self.aS_list[i]),
+                    "beta": jnp.asarray(self.b_list[i]),
+                    "Sbeta": jnp.asarray(self.bS_list[i]),
+                    "tau": jnp.asarray(self.tau_list[i] if i < len(self.tau_list)
+                                       else self.tau_list[-1]),
+                    "stau": jnp.asarray(self.stau_list[i] if i < len(self.stau_list)
+                                        else self.stau_list[-1]),
+                }
+                for i in range(len(self.inds_list))
+            ),
+            # static metadata rides along outside the pytree leaves:
+        }
+
+    def _static(self):
+        return {
+            "inds": tuple(tuple(int(j) for j in i) for i in self.inds_list),
+            "N": self.F.shape[0],
+            "eta": self.eta,
+            "method": self.method,
+            "conv": self.conv,
+        }
+
+    def num_contacts(self) -> int:
+        return len(self.inds_list)
+
+    def surface_g(self, E, i, conv=None):
+        """Surface Green's function of contact i at (possibly complex) E."""
+        c = self.params()["contacts"][i]
+        E = jnp.asarray(E, dtype=jnp.result_type(c["alpha"].dtype, complex))
+        A = (E + 1j * self.eta) * c["Salpha"] - c["alpha"]
+        B = (E + 1j * self.eta) * c["Sbeta"] - c["beta"]
+        conv = self.conv if conv is None else conv
+        if self.method == "dyson":
+            return surface_g_dyson(A, B, conv)
+        return surface_g_sancho(A, B, conv)
+
+    # staticmethod-style pure functions used by the engines ------------
+    @staticmethod
+    def _sigma_block(contact, E, eta, conv, method):
+        A = (E + 1j * eta) * contact["Salpha"] - contact["alpha"]
+        B = (E + 1j * eta) * contact["Sbeta"] - contact["beta"]
+        if method == "dyson":
+            g = surface_g_dyson(A, B, conv)
+        else:
+            g = surface_g_sancho(A, B, conv)
+        t = E * contact["stau"] - contact["tau"]
+        return t @ g @ jnp.conj(t).T
+
+    def _static_key(self):
+        s = self._static()
+        return (s["inds"], s["N"], s["eta"], s["method"], s["conv"])
+
+    def total_apply(self):
+        """(pure_fn(params, E), params) with a cache-stable fn identity."""
+        return _chain_total_fn(self._static_key()), self.params()
+
+    def contact_apply(self, i: int):
+        i = i % len(self.inds_list)
+        return _chain_contact_fn(self._static_key(), i), self.params()
+
+    def make_sigma_fns(self):
+        """Convenience closures over the current parameters (host use)."""
+        tot_fn, params = self.total_apply()
+        statkey = self._static_key()
+
+        def sigma_contact_fn(E, i):
+            return _chain_contact_fn(statkey, i)(params, E)
+
+        def sigma_total_fn(E):
+            return tot_fn(params, E)
+
+        return sigma_total_fn, sigma_contact_fn
+
+    # -- reference-compatible host API ---------------------------------
+    def sigma(self, E, i, conv=None):
+        _, fn = self.make_sigma_fns()
+        i = i % len(self.inds_list)
+        return np.asarray(fn(jnp.asarray(E), i))
+
+    def sigmaTot(self, E, conv=None):
+        fn, _ = self.make_sigma_fns()
+        return np.asarray(fn(jnp.asarray(E)))
+
+    def set_fock(self, F, mu1=None, mu2=None):
+        """Update F; replicate surfG1D.setF semantics (surfG1D.py:297-342).
+
+        * auto-extracted couplings: the contact onsite blocks are overwritten
+          by the adjacent-cell blocks (periodicity enforcement), then tau and
+          stau re-extracted;
+        * fully-specified contacts: onsite alpha shifted by (mu - fermi) * I
+          and beta by (mu - fermi) * S_beta to realign the lead Fermi level.
+        """
+        self.F = np.asarray(F, dtype=complex)
+        if self.tau_from_fock:
+            t0, t1 = self.tau_inds
+            i0, i1 = self.inds_list[0], self.inds_list[-1]
+            self.F[np.ix_(i0, i0)] = self.F[np.ix_(t0, t0)]
+            self.F[np.ix_(i1, i1)] = self.F[np.ix_(t1, t1)]
+            self._extract_taus()
+        if self.contact_from_fock:
+            self._extract_contacts()
+        else:
+            if self.fermi_list[0] is None:
+                self.fermi_list[0] = mu1
+                self.fermi_list[-1] = mu2
+            else:
+                for i, mu in zip([0, -1], [mu1, mu2]):
+                    fermi = self.fermi_list[i]
+                    if fermi is not None and mu is not None and fermi != mu:
+                        dmu = mu - fermi
+                        self.a_list[i] = self.a_list[i] + dmu * np.eye(
+                            len(self.a_list[i]))
+                        self.b_list[i] = self.b_list[i] + dmu * self.bS_list[i]
+                        self.fermi_list[i] = mu
+
+    # aliases used by Fermi-search helpers on sub-providers
+    @property
+    def aList(self):
+        return self.a_list
+
+    @property
+    def aSList(self):
+        return self.aS_list
+
+    @property
+    def bList(self):
+        return self.b_list
+
+    @property
+    def bSList(self):
+        return self.bS_list

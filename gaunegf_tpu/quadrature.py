@@ -40,8 +40,11 @@ def fermi_dirac(E, mu, T):
     E = np.asarray(E)
     kT = KB * T
     if kT == 0:
-        Er = E.real if np.iscomplexobj(E) else E
-        return (Er <= mu) * 1
+        if np.iscomplexobj(E):
+            # lexicographic (real, then imag) complex comparison, matching
+            # the NumPy semantics the reference's step function relies on
+            return ((E.real < mu) | ((E.real == mu) & (E.imag <= 0))) * 1
+        return (E <= mu) * 1
     return 1.0 / (np.exp((E - mu) / kT) + 1.0)
 
 
@@ -222,6 +225,12 @@ def contour_grid(Emin: float, mu: float, N: int, T: float = TEMPERATURE,
         nb = max(1, int(N // 8))
         fmethod = "legendre" if method in ("legendre", "chebyshev", "ant") else "trap"
         Eb, wb = broadening_segment(mu, nb, T, n_kt, fmethod)
+        # The real-axis segment contributes -Im(G)/pi to the density while the
+        # contour piece contributes +Im(G)/pi (orientation), so its weights
+        # enter with a minus sign.  NOTE: the reference adds this segment with
+        # a + sign (density.py:729-742), which gives *negative* occupation for
+        # spectral weight inside the broadening window -- verified wrong
+        # against brute-force integration; fixed here (documented deviation).
         z = np.concatenate([z, Eb.astype(complex)])
-        zw = np.concatenate([zw, wb.astype(complex)])
+        zw = np.concatenate([zw, -wb.astype(complex)])
     return z, zw

@@ -1,0 +1,123 @@
+"""Density integration routes vs reference goldens (density.py parity)."""
+
+import os
+
+import numpy as np
+
+from gaunegf_tpu import density as dens
+from gaunegf_tpu import quadrature as quad
+from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+from gaunegf_tpu.parallel.mesh import energy_mesh
+
+GOLD = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                            "golden_v1.npz"))
+
+
+def _system():
+    H = GOLD["dens_H"]
+    n = H.shape[0]
+    S = np.eye(n)
+    c_inds = [np.arange(4), np.arange(12, 16)]
+    g = ConstantSelfEnergy(H, S, c_inds, sig1=-0.1j)
+    return H, S, g
+
+
+def test_constant_sigma_matches_reference():
+    H, S, g = _system()
+    assert np.max(np.abs(g.sigmaTot(0.0) - GOLD["dens_sig_tot"])) < 1e-14
+
+
+def test_ant_points_match_reference():
+    x, w = quad.ant_points(16)
+    assert np.max(np.abs(x - GOLD["ant_x_16"])) < 1e-14
+    assert np.max(np.abs(w - GOLD["ant_w_16"])) < 1e-14
+
+
+def test_density_complex_n():
+    H, S, g = _system()
+    P = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0)
+    assert np.max(np.abs(P - GOLD["dens_complexN"])) < 1e-9
+
+
+def test_density_real_n():
+    H, S, g = _system()
+    P = dens.density_real_n(H, S, g, -6.0, 0.5, 128, T=0)
+    assert np.max(np.abs(P - GOLD["dens_realN"])) < 1e-9
+
+
+def test_density_grid_n():
+    H, S, g = _system()
+    P = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0)
+    assert np.max(np.abs(P - GOLD["dens_gridN"])) < 1e-9
+
+
+def test_density_sharded_equals_serial():
+    H, S, g = _system()
+    mesh = energy_mesh()
+    P1 = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0)
+    P2 = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0, mesh=mesh)
+    assert np.max(np.abs(P1 - P2)) < 1e-12
+
+
+def test_density_analytic_matches_reference():
+    P = dens.density_analytic(GOLD["analytic_V"],
+                              np.linalg.inv(GOLD["analytic_V"].conj().T),
+                              GOLD["analytic_D"],
+                              None if False else _gambar(),
+                              -1e6, 0.3)
+    assert np.max(np.abs(P - GOLD["analytic_P"])) < 1e-10
+
+
+def _gambar():
+    H, S, g = _system()
+    sig = g.sigmaTot(0.0)
+    Gam = 1j * (sig - sig.conj().T)
+    return Gam  # S = I so X = I
+
+
+def test_bisect_fermi_matches_reference():
+    V = GOLD["analytic_V"]
+    Vc = np.linalg.inv(V.conj().T)
+    f = dens.bisect_fermi(V, Vc, GOLD["analytic_D"], _gambar(), 8.0,
+                          conv=1e-10, verbose=False)
+    assert abs(f - float(GOLD["analytic_fermi"])) < 1e-8
+
+
+def test_contour_equals_real_axis_route():
+    """Physics identity: equilibrium density from the complex contour must
+    equal dense real-axis integration (path independence)."""
+    H, S, g = _system()
+    Pc = dens.density_complex_n(H, S, g, -4.0, 0.2, 96, T=0)
+    Pr = dens.density_real_n(H, S, g, -4.0, 0.2, 4096, T=0)
+    assert np.max(np.abs(Pc - Pr)) < 5e-4
+
+
+def test_adaptive_routes():
+    H, S, g = _system()
+    Pn = dens.density_complex_n(H, S, g, -4.0, 0.5, 162, T=0)
+    Pa = dens.density_complex(H, S, g, -4.0, 0.5, tol=1e-7, T=0, verbose=False)
+    assert np.max(np.abs(Pa - Pn)) < 1e-5
+
+    Pg = dens.density_grid(H, S, g, -0.4, 0.4, ind=1, tol=1e-7, T=0)
+    Pgn = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=162, T=0)
+    assert np.max(np.abs(Pg - Pgn)) < 1e-5
+
+
+def test_integral_fit_matches_reference():
+    H, S, g = _system()
+    emin, n1, n2 = dens.integral_fit(H, S, g, 0.0, -1e6, 1e-4, T=0,
+                                     verbose=False)
+    assert emin == float(GOLD["fit_emin"])
+    assert n1 == int(GOLD["fit_n1"])
+    assert n2 == int(GOLD["fit_n2"])
+
+
+def test_density_finite_temperature_physical():
+    """Finite-T contour density: trace interpolates between T=0 fillings and
+    stays close for mu in a gap (documented sign fix vs reference)."""
+    H, S, g = _system()
+    P0 = dens.density_complex_n(H, S, g, -4.0, 0.0, 128, T=0)
+    PT = dens.density_complex_n(H, S, g, -4.0, 0.0, 256, T=300.0)
+    # with Gamma = 0.1 the spectral weight near mu is small but nonzero;
+    # traces should agree to ~1e-2 electrons
+    assert abs(np.trace(P0 - PT).real) < 2e-2

@@ -1,0 +1,106 @@
+"""Energy-batched Green's engine vs reference GrInt/GrLessInt goldens,
+plus sharded-vs-serial equivalence on the virtual 8-device mesh."""
+
+import os
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from gaunegf_tpu.config import ExecutionConfig
+from gaunegf_tpu.ops.greens import EnergyEngine
+from gaunegf_tpu.parallel.mesh import energy_mesh
+
+GOLD = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                            "golden_v1.npz"))
+
+
+class MockSigma:
+    """Energy-dependent mock provider: Sigma(E) = base*(1+0.1E) - 0.05j*I."""
+
+    def __init__(self, base):
+        self.base = jnp.asarray(base)
+        self.N = base.shape[0]
+        self.F = np.zeros((self.N, self.N))
+        self.S = np.eye(self.N)
+
+    def params(self):
+        return {"base": self.base}
+
+    def total_apply(self):
+        return _mock_total, self.params()
+
+    def contact_apply(self, i):
+        return _mock_half, self.params()
+
+    def num_contacts(self):
+        return 2
+
+
+def _mock_total(params, E):
+    n = params["base"].shape[0]
+    return params["base"] * (1 + 0.1 * E) - 1j * 0.05 * jnp.eye(n)
+
+
+def _mock_half(params, E):
+    return _mock_total(params, E) / 2
+
+
+def _engine(mesh=None):
+    H = GOLD["gint_H"]
+    S = np.eye(H.shape[0])
+    mock = MockSigma(GOLD["gint_base"])
+    return EnergyEngine(H, S, mock, ExecutionConfig(energy_chunk=4), mesh)
+
+
+def test_gr_sum_matches_reference():
+    got = _engine().gr_sum(GOLD["gint_E"], GOLD["gint_w"])
+    assert np.max(np.abs(got - GOLD["gint_gr"])) < 1e-10
+
+
+def test_gless_sum_matches_reference():
+    got = _engine().gless_sum(GOLD["gint_E"], GOLD["gint_w"], contact=0)
+    assert np.max(np.abs(got - GOLD["gint_gless"])) < 1e-10
+
+
+def test_sharded_equals_serial():
+    mesh = energy_mesh()
+    assert mesh.shape["e"] == 8
+    E, w = GOLD["gint_E"], GOLD["gint_w"]
+    serial = _engine().gr_sum(E, w)
+    sharded = _engine(mesh).gr_sum(E, w)
+    assert np.max(np.abs(serial - sharded)) < 1e-12
+
+    sl = _engine().gless_sum(E, w, contact=0)
+    sh = _engine(mesh).gless_sum(E, w, contact=0)
+    assert np.max(np.abs(sl - sh)) < 1e-12
+
+
+def test_sharded_transmission_map():
+    mesh = energy_mesh()
+    E = np.linspace(-2, 2, 11)
+    serial = _engine().transmission(E)
+    sharded = _engine(mesh).transmission(E)
+    assert serial.shape == (11,)
+    assert np.max(np.abs(serial - sharded)) < 1e-12
+    assert np.all(serial >= 0)
+
+
+def test_odd_sizes_and_padding():
+    """Grid sizes that don't divide the (devices x chunk) layout."""
+    mesh = energy_mesh()
+    for nE in [1, 3, 7, 13, 33]:
+        E = np.linspace(-1, 1, nE)
+        w = np.ones(nE)
+        a = _engine().gr_sum(E, w)
+        b = _engine(mesh).gr_sum(E, w)
+        assert np.max(np.abs(a - b)) < 1e-12, nE
+
+
+def test_dos_map():
+    E = np.linspace(-2, 2, 9)
+    tot, site = _engine().dos(E)
+    assert tot.shape == (9,)
+    assert site.shape == (9, GOLD["gint_H"].shape[0])
+    assert np.allclose(tot, site.sum(axis=1))
+    assert np.all(tot > 0)
