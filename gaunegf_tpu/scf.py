@@ -1,0 +1,370 @@
+"""Energy-independent NEGF-SCF driver.
+
+Capability parity with gauNEGF/scf.py's NEGF class (the Damle-style
+analytic-density route with constant self-energies, Pulay/DIIS mixing,
+voltage/E-field handling and density checkpointing), rebuilt over the
+backend-agnostic FockProvider protocol so the whole loop runs without
+Gaussian (SURVEY.md section 7.2 layer 5).
+
+Reference call-stack being reproduced: SURVEY.md section 3.1-3.2
+(scf.py:134-208 init, scf.py:527-595 FockToP, scf.py:597-661 PMix,
+scf.py:664-687 PToFock, scf.py:691-813 SCF loop).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from gaunegf_tpu.config import (
+    ENERGY_MIN, FERMI_CALCULATION_TOL, PULAY_MIXING_SIZE, SCF_CONVERGENCE_TOL,
+    SCF_DAMPING, SCF_MAX_CYCLES, ExecutionConfig)
+from gaunegf_tpu.density import bisect_fermi, density_analytic
+from gaunegf_tpu.io import checkpoint as ckpt
+from gaunegf_tpu.models.selfenergy import form_sigma
+from gaunegf_tpu.ops import zlinalg as zl
+from gaunegf_tpu import spin as spinmod
+from gaunegf_tpu.units import V_TO_AU
+
+__all__ = ["NEGF"]
+
+
+class NEGF:
+    """Self-consistent NEGF driver with energy-independent self-energies.
+
+    Parameters
+    ----------
+    backend : FockProvider
+        Electronic-structure backend (TightBindingFock / MatrixFock /
+        GaussianFock).
+    spin : {'r', 'u', 'ro', 'g'}
+    name : checkpoint base name (default 'negf')
+    """
+
+    def __init__(self, backend, spin="r", name="negf",
+                 n_pulay=PULAY_MIXING_SIZE, exec_cfg=None, mesh=None,
+                 verbose=True):
+        self.backend = backend
+        self.spin = spin
+        self.name = name
+        self.verbose = verbose
+        self.exec_cfg = exec_cfg or ExecutionConfig()
+        self.mesh = mesh
+        self.energy_dep = False
+
+        self.Eminf = ENERGY_MIN
+        self.fermi = None
+        self.upd_fermi = False
+        self.qV = 0.0
+
+        self.start_time = time.time()
+        self.S = np.asarray(backend.overlap())
+        self.P = np.asarray(backend.initial_density())
+        self.F = np.asarray(backend.initial_fock())
+        self.locs = np.asarray(backend.locs)
+        self.nsto = self.S.shape[0]
+        self.f_to_eV = float(backend.f_to_eV)
+        self.X = np.asarray(zl.fractional_matrix_power(
+            jnp.asarray(self.S), -0.5))
+
+        ne = backend.n_electrons
+        multip = getattr(backend, "multiplicity", 1)
+        self.nae = int(ne / 2 + (multip - 1) / 2)
+        self.nbe = int(ne / 2 - (multip - 1) / 2)
+
+        orbs, _ = np.linalg.eig(self.X @ self.F @ self.X)
+        self.Emin = float(np.min(orbs.real)) * self.f_to_eV - 5
+        self.Emax = float(np.max(orbs.real)) * self.f_to_eV
+        self.conv_level = 9999.0
+        self.MaxDP = 9999.0
+        self.total_E = getattr(backend, "initial_energy", 0.0)
+
+        # Pulay/DIIS buffers (scf.py:191-196 layout)
+        self.p_list = np.array([self.P for _ in range(n_pulay)], dtype=complex)
+        self.dp_list = np.ones((n_pulay, self.nsto, self.nsto),
+                               dtype=complex) * 1e4
+        self.p_mat = np.ones((n_pulay + 1, n_pulay + 1), dtype=complex) * -1
+        self.p_mat[-1, -1] = 0
+        self.p_b = np.zeros(n_pulay + 1)
+        self.p_b[-1] = -1
+        self._P_stored = self.P.copy()
+        self.backend.store_density(self.P)
+
+    # ------------------------------------------------------------------
+    @property
+    def F_eV(self):
+        return self.F * self.f_to_eV
+
+    def updateN(self):
+        n_occ = float(np.real(np.trace(self.P @ self.S)))
+        self.nelec = 2 * n_occ if self.spin == "r" else n_occ
+        return self.nelec
+
+    def setDen(self, P):
+        self.P = np.asarray(P)
+        self.backend.store_density(self.P)
+        self._P_stored = self.P.copy()
+        self.updateN()
+        if self.verbose:
+            print(f"Density matrix loaded, nelec = {self.nelec:.2f} electrons")
+        self.PToFock()
+
+    def getHOMOLUMO(self):
+        orbs, _ = np.linalg.eig(self.X @ self.F @ self.X)
+        orbs = np.sort(orbs) * self.f_to_eV
+        if self.spin == "r":
+            return orbs[self.nae - 1:self.nae + 1].real
+        return orbs[self.nae + self.nbe - 1:self.nae + self.nbe + 1].real
+
+    # ------------------------------------------------------------------
+    def setContacts(self, l_contact=None, r_contact=None):
+        """Resolve contact atom numbers to orbital indices via locs
+        (scf.py:392-423)."""
+        n_atoms = int(np.max(np.abs(self.locs)))
+        self.l_contact = (np.arange(n_atoms) + 1 if l_contact is None
+                          else np.asarray(l_contact))
+        self.r_contact = (np.arange(n_atoms) + 1 if r_contact is None
+                          else np.asarray(r_contact))
+        l_ind = np.where(np.isin(np.abs(self.locs), self.l_contact))[0]
+        r_ind = np.where(np.isin(np.abs(self.locs), self.r_contact))[0]
+        return l_ind, r_ind
+
+    def setSigma(self, l_contact=None, r_contact=None, sig=-0.1j, sig2=None):
+        """Constant self-energies with spin-aware shape handling
+        (scf.py:426-521)."""
+        l_ind, r_ind = self.setContacts(l_contact, r_contact)
+        if sig2 is None:
+            sig2 = sig + 0.0
+        sig = np.asarray(sig)
+        sig2 = np.asarray(sig2)
+        if sig.ndim != sig2.ndim:
+            raise ValueError("Sigma matrix dimension mismatch!")
+        if sig.ndim == 1:
+            if len(sig) == len(l_ind) and len(sig2) == len(r_ind):
+                pass
+            elif len(sig) == len(l_ind) / 2 and len(sig2) == len(r_ind) / 2:
+                sig = spinmod.expand_vector(sig, self.spin)
+                sig2 = spinmod.expand_vector(sig2, self.spin)
+            else:
+                raise ValueError("Sigma matrix dimension mismatch!")
+        elif sig.ndim == 2:
+            if len(sig) == len(l_ind) and len(sig2) == len(r_ind):
+                pass
+            elif len(sig) == len(r_ind) / 2 and len(sig2) == len(r_ind) / 2:
+                sig = spinmod.expand_matrix(sig, self.spin)
+                sig2 = spinmod.expand_matrix(sig2, self.spin)
+            else:
+                raise ValueError("Sigma matrix dimension mismatch!")
+        self.l_ind = l_ind
+        self.r_ind = r_ind
+        self.sigma1 = form_sigma(l_ind, sig, self.nsto, self.S)
+        self.sigma2 = form_sigma(r_ind, sig2, self.nsto, self.S)
+        self.sigma12 = self.sigma1 + self.sigma2
+        if self.verbose:
+            print("Max imag sigma:",
+                  np.max(np.abs(np.imag(self.sigma12))))
+        self.Gam1 = 1j * (self.sigma1 - self.sigma1.conj().T)
+        self.Gam2 = 1j * (self.sigma2 - self.sigma2.conj().T)
+        return l_ind, r_ind
+
+    def getSigma(self, E=0):
+        return self.sigma1, self.sigma2
+
+    def setVoltage(self, qV, fermi=np.nan, Emin=None, Eminf=None):
+        """Bias + chemical potentials + contact-dipole E-field
+        (scf.py:318-390)."""
+        assert hasattr(self, "l_ind") and hasattr(self, "r_ind"), \
+            "Contacts not set!"
+        if np.isnan(fermi):
+            self.upd_fermi = True
+            if self.fermi is None:
+                hl = self.getHOMOLUMO()
+                if self.verbose:
+                    print(f"Setting initial Fermi energy between HOMO "
+                          f"({hl[0]:.2f} eV) and LUMO ({hl[1]:.2f} eV)")
+                fermi = float(np.sum(hl) / 2)
+            else:
+                fermi = self.fermi
+        else:
+            self.upd_fermi = False
+        if Emin is not None:
+            self.Emin = Emin
+        if Eminf is not None:
+            self.Eminf = Eminf
+        self.fermi = fermi
+        self.qV = qV
+        self.mu1 = fermi + qV / 2
+        self.mu2 = fermi - qV / 2
+
+        coords = self.backend.atom_coords()
+        if coords is not None:
+            l_at = coords[np.asarray(self.l_contact, dtype=int) - 1]
+            r_at = coords[np.asarray(self.r_contact, dtype=int) - 1]
+            vec = np.mean(l_at, axis=0) - np.mean(r_at, axis=0)
+            dist = np.linalg.norm(vec)
+            if dist == 0:
+                print("WARNING: left and right contact atoms identical, "
+                      "E-field set to zero!")
+                field = np.zeros(3)
+            else:
+                field = -vec / dist * qV * V_TO_AU / (dist * 1e-4)
+            self.backend.set_field(field)
+
+    # ------------------------------------------------------------------
+    def FockToP(self):
+        """Analytic density from the orthogonalized Fock eigensystem
+        (scf.py:527-595)."""
+        X = self.X
+        Fbar = X @ (self.F_eV + self.sigma12) @ X
+        GamBar1 = X @ self.Gam1 @ X
+        GamBar2 = X @ self.Gam2 @ X
+        D, V = np.linalg.eig(Fbar)
+        Vc = np.linalg.inv(V.conj().T)
+
+        if self.upd_fermi:
+            n_exp = self.backend.n_electrons
+            conv = min(self.conv_level, FERMI_CALCULATION_TOL)
+            if self.spin == "r":
+                n_exp /= 2
+            self.fermi = bisect_fermi(V, Vc, D, GamBar1 + GamBar2, n_exp,
+                                      conv, self.Eminf,
+                                      verbose=self.verbose)
+            self.setVoltage(self.qV)
+            if self.verbose:
+                print(f"Fermi Energy set to {self.fermi:.2f} eV")
+
+        if self.mu1 == self.mu2:
+            P = density_analytic(V, Vc, D, GamBar1 + GamBar2, self.Eminf,
+                                 self.fermi)
+        else:
+            P1 = density_analytic(V, Vc, D, GamBar1, self.Eminf, self.mu1)
+            P2 = density_analytic(V, Vc, D, GamBar2, self.Eminf, self.mu2)
+            P = P1 + P2
+        pshift = V.conj().T @ P @ V
+        self.P = X @ P @ X
+        occ = np.diag(np.real(pshift))
+        energies = np.real(D).flatten()
+        order = np.argsort(energies)
+        return energies[order], occ[order]
+
+    def PMix(self, damping, pulay=False):
+        """Damped + Pulay/DIIS density mixing (scf.py:597-661)."""
+        P_back = self._P_stored
+        dense_diff = np.abs(np.diag(self.P) - np.diag(P_back))
+        self.p_list[1:] = self.p_list[:-1]
+        self.p_list[0] = P_back + damping * (self.P - P_back)
+        self.dp_list[1:] = self.dp_list[:-1]
+        self.dp_list[0] = self.P - P_back
+        for i, v1 in enumerate(self.dp_list):
+            for j, v2 in enumerate(self.dp_list):
+                self.p_mat[i, j] = np.sum(v1 * v2)
+        if pulay:
+            coeff = np.linalg.solve(self.p_mat, self.p_b)[:-1]
+            if self.verbose:
+                print("Applying Pulay Coeff: ", coeff)
+            self.P = sum(self.p_list[i] * coeff[i] for i in range(len(coeff)))
+            self.p_list[0] = self.P
+        else:
+            if self.verbose:
+                print("Applying Damping value=", damping)
+            self.P = self.p_list[0]
+        self.backend.store_density(self.P)
+        self._P_stored = self.P.copy()
+        self.updateN()
+        if self.verbose:
+            print(f"Total number of electrons (NEGF): {self.nelec:.2f}")
+        self.MaxDP = float(np.max(dense_diff))
+        rmsdp = float(np.sqrt(np.mean(dense_diff ** 2)))
+        if self.verbose:
+            print(f"MaxDP: {self.MaxDP:.2E} | RMSDP: {rmsdp:.2E}")
+        return rmsdp, self.MaxDP
+
+    def PToFock(self):
+        """Rebuild F from the stored density via the backend
+        (scf.py:664-687)."""
+        total_E_old = self.total_E
+        self.F, self.total_E = self.backend.fock(self._P_stored)
+        self.F = np.asarray(self.F)
+        dE = self.total_E - total_E_old
+        if self.verbose:
+            print("SCF energy: ", self.total_E)
+            print(f"Energy difference is: {dE:.3E}")
+        return dE
+
+    # ------------------------------------------------------------------
+    def SCF(self, conv=SCF_CONVERGENCE_TOL, damping=SCF_DAMPING,
+            max_cycles=SCF_MAX_CYCLES, checkpoint=True, pulay=True):
+        """Main Fock <-> density loop (scf.py:691-813): convergence when
+        max(RMSDP, MaxDP, |dE|) < conv; density checkpoint saved whenever
+        the convergence level improves and promoted to *_Final.mat."""
+        assert hasattr(self, "mu1") and hasattr(self, "mu2"), \
+            "Voltage not set!"
+        checkpoint_file = f"{self.name}_P.mat"
+        final_file = f"{self.name}_Final.mat"
+        if checkpoint and os.path.exists(checkpoint_file):
+            try:
+                if self.verbose:
+                    print(f"Found checkpoint file {checkpoint_file}, "
+                          "loading...")
+                P, _ = ckpt.load_density(checkpoint_file)
+                self.setDen(P)
+            except Exception as e:
+                print(f"Warning: checkpoint not loaded - Error: {e}")
+
+        n_iter = 0
+        min_conv = 9999.0
+        counts, electrons, energies_hist = [], [], []
+        if self.verbose:
+            print("Entering NEGF-SCF loop at: " + time.asctime())
+        occ_list = e_list = None
+        while True:
+            if self.verbose:
+                print(f"\nIteration {n_iter}:")
+            is_pulay = pulay and ((n_iter + 1) % (len(self.p_list) + 1) == 0)
+            e_list, occ_list = self.FockToP()
+            rmsdp, maxdp = self.PMix(damping, is_pulay)
+            dE = self.PToFock()
+            energies_hist.append(self.total_E)
+            counts.append(n_iter)
+            electrons.append(self.nelec)
+            self.conv_level = max(rmsdp, maxdp, abs(dE))
+            if self.conv_level < conv:
+                if self.verbose:
+                    print(f"Convergence achieved after {n_iter} iterations!")
+                break
+            if n_iter >= max_cycles:
+                print("WARNING: Convergence criterion not met, "
+                      "maxcycles reached!")
+                break
+            if self.conv_level < min_conv and checkpoint:
+                ckpt.save_density(checkpoint_file, self.P, self.conv_level)
+                min_conv = self.conv_level + 0.0
+            n_iter += 1
+
+        if self.conv_level < conv and checkpoint:
+            ckpt.promote_final(checkpoint_file, final_file)
+        if self.verbose:
+            print("--- %s seconds ---" % (time.time() - self.start_time))
+            hl = self.getHOMOLUMO()
+            print(f"Predicted HOMO: {hl[0]:.2f} eV , Predicted LUMO "
+                  f"{hl[1]:.2f} eV, Fermi: {self.fermi:0.2f}")
+            print("ENERGY LEVEL OCCUPATION:")
+            for o, e in zip(occ_list, e_list):
+                print(f"Energy = {e:9.3f} eV | Occ = {o:5.3f}")
+        return counts, electrons, energies_hist
+
+    # ------------------------------------------------------------------
+    def saveMAT(self, matfile="out.mat"):
+        sigma1, sigma2 = self.getSigma(self.fermi)
+        ckpt.save_results(matfile, F=self.F_eV, sig1=sigma1, sig2=sigma2,
+                          S=self.S, fermi=self.fermi, qV=self.qV,
+                          spin=self.spin, P=self.P, conv=self.conv_level)
+        return self.X @ self.F @ self.X
+
+    def writeChk(self):
+        if hasattr(self.backend, "write_chk"):
+            self.backend.write_chk()

@@ -1,0 +1,135 @@
+"""SCF drivers: Gaussian-free self-consistency with the TB mean-field
+backend; analytic (NEGF) vs contour (NEGFE) equivalence; checkpoints."""
+
+import numpy as np
+import pytest
+
+from gaunegf_tpu.models.fock import MatrixFock, TightBindingFock
+from gaunegf_tpu.scf import NEGF
+from gaunegf_tpu.scfe import NEGFE
+
+
+def make_backend(n=12, U=0.5, ne=None):
+    H0 = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    H0 += np.diag(0.3 * np.cos(np.arange(n)))      # mild disorder
+    return TightBindingFock(H0, n_electrons=(n if ne is None else ne), U=U,
+                            n0=0.5 * np.ones(n))
+
+
+def test_scf_converges_fixed_fermi(tmp_path):
+    be = make_backend(U=0.5)
+    negf = NEGF(be, name=str(tmp_path / "tb"), verbose=False)
+    negf.setSigma(lContact := [1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    counts, electrons, energies = negf.SCF(conv=1e-6, damping=0.05,
+                                           max_cycles=200)
+    assert negf.conv_level < 1e-6
+    # density must be self-consistent: rebuild F and recompute P
+    F1 = negf.F.copy()
+    negf.FockToP()
+    negf.backend.store_density(negf.P)
+    F2, _ = negf.backend.fock(negf.P)
+    assert np.max(np.abs(F1 - F2)) < 1e-4
+
+
+def test_scf_updates_fermi_to_match_electrons(tmp_path):
+    be = make_backend(U=0.3)
+    negf = NEGF(be, name=str(tmp_path / "tbf"), verbose=False)
+    negf.setSigma([1], [12], sig=-0.1j)
+    negf.setVoltage(0.0)           # fermi=nan -> update each cycle
+    negf.SCF(conv=1e-5, damping=0.05, max_cycles=200)
+    assert abs(negf.nelec - be.n_electrons) < 1e-2
+
+
+def test_negf_vs_negfe_equivalence(tmp_path):
+    """Analytic constant-sigma density (NEGF) must equal the contour-
+    integrated density (NEGFE) for the same system at T=0."""
+    be1 = make_backend(U=0.0)
+    negf = NEGF(be1, name=str(tmp_path / "a"), verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.4, Eminf=-1000.0)
+    negf.FockToP()
+    P_analytic = negf.P.copy()
+
+    be2 = make_backend(U=0.0)
+    negfe = NEGFE(be2, name=str(tmp_path / "b"), verbose=False)
+    negfe.setSigma([1, 2], [11, 12], sig=-0.1j, T=0)
+    negfe.setIntegralLimits(N1=256, N2=512)
+    negfe.setVoltage(0.0, fermi=0.4, Eminf=-1000.0)
+    negfe.FockToP()
+    P_contour = negfe.P.copy()
+    assert np.max(np.abs(P_analytic - P_contour)) < 1e-4
+
+
+def test_negfe_scf_constant_sigma(tmp_path):
+    be = make_backend(U=0.4)
+    negfe = NEGFE(be, name=str(tmp_path / "e"), verbose=False)
+    negfe.setSigma([1, 2], [11, 12], sig=-0.1j, T=0)
+    negfe.setIntegralLimits(N1=100, N2=64)
+    negfe.setVoltage(0.0, fermi=0.3)
+    negfe.SCF(conv=1e-5, damping=0.05, max_cycles=200)
+    assert negfe.conv_level < 1e-5
+
+
+def test_negfe_bias_window(tmp_path):
+    """Finite bias adds the G< window; total electron count grows with the
+    left-contact filling (sanity, not a golden)."""
+    be = make_backend(U=0.0)
+    negfe = NEGFE(be, name=str(tmp_path / "v"), verbose=False)
+    negfe.setSigma([1, 2], [11, 12], sig=-0.1j, T=0)
+    negfe.setIntegralLimits(N1=100, N2=64)
+    negfe.setVoltage(0.4, fermi=0.0)
+    assert negfe.mu1 == pytest.approx(0.2)
+    assert negfe.mu2 == pytest.approx(-0.2)
+    negfe.FockToP()
+    assert np.isfinite(negfe.P).all()
+    # Hermiticity of the density to reasonable accuracy
+    assert np.max(np.abs(negfe.P - negfe.P.conj().T)) < 1e-3
+
+
+def test_scf_checkpoint_roundtrip(tmp_path):
+    name = str(tmp_path / "ck")
+    be = make_backend(U=0.5)
+    negf = NEGF(be, name=name, verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    negf.SCF(conv=1e-3, damping=0.05, max_cycles=4, checkpoint=True)
+    import os
+    assert os.path.exists(name + "_P.mat")
+
+    # resume: a fresh driver picks up the checkpoint density
+    be2 = make_backend(U=0.5)
+    negf2 = NEGF(be2, name=name, verbose=False)
+    negf2.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf2.setVoltage(0.0, fermi=0.0)
+    negf2.SCF(conv=1e-6, damping=0.05, max_cycles=300, checkpoint=True)
+    assert negf2.conv_level < 1e-6
+    assert os.path.exists(name + "_Final.mat")
+
+
+def test_save_mat_roundtrip(tmp_path):
+    from gaunegf_tpu import transport as tr
+    be = make_backend(U=0.0)
+    negf = NEGF(be, name=str(tmp_path / "sm"), verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.1, fermi=0.0)
+    negf.FockToP()
+    mat = str(tmp_path / "out.mat")
+    negf.saveMAT(mat)
+    I = tr.currentF(mat, dE=0.01)
+    assert np.isfinite(I)
+
+    mf = MatrixFock(filename=mat)
+    assert mf.F0.shape == negf.F.shape
+
+
+def test_matrix_fock_backend(tmp_path):
+    n = 8
+    F = np.diag(np.linspace(-1, 1, n))
+    mf = MatrixFock(F=F, n_electrons=4)
+    negf = NEGF(mf, name=str(tmp_path / "m"), verbose=False)
+    negf.setSigma([1], [8], sig=-0.05j)
+    negf.setVoltage(0.0, fermi=0.0)
+    negf.SCF(conv=1e-6, max_cycles=5)
+    # fixed Fock: converges immediately (dE = 0 after first rebuild)
+    assert negf.conv_level < 1e-6
