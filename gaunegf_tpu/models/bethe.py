@@ -1,0 +1,558 @@
+"""Bethe-lattice metallic-electrode self-energies (FCC [111] surface).
+
+Capability parity with gauNEGF/surfGBethe.py: geometry auto-detection from
+the contact atom coordinates (SVD surface normal, 12-NN direction matching
+with orientation disambiguation), Slater-Koster spd parameterization from
+.bethe files, bulk + surface self-energy fixed points, contact Fermi-level
+determination, ANT-style de-orthogonalization for orthogonal parameter
+sets, and spin expansion.
+
+TPU-first design:
+* all geometry runs once on the host (NumPy);
+* the bulk fixed point iterates all 12 direction self-energies as a stacked
+  (12, 9, 9) tensor inside a single jitted lax.while_loop (reference:
+  surfGBethe.py:957-1030), vmappable over the energy batch;
+* provider params are pytrees with cache-stable pure functions, so SCF
+  iterations and Fermi probes never retrace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gaunegf_tpu.config import (
+    ETA, FERMI_CALCULATION_TOL, SURFACE_BETHE_MIX, SURFACE_GREEN_CONVERGENCE,
+    SURFACE_MAX_ITER_BETHE, TEMPERATURE)
+from gaunegf_tpu.models.selfenergy import _CompatMixin
+from gaunegf_tpu.models import slater_koster as sk
+from gaunegf_tpu.ops import zlinalg as zl
+from gaunegf_tpu.units import BOHR_TO_ANG
+
+DIM = sk.DIM
+NN = 12
+PLANE_DIRS = (0, 1, 2, 6, 7, 8)       # in-plane direction slots
+PAIR = tuple((k + 6) % NN for k in range(NN))
+
+__all__ = ["BetheGeometry", "BetheAtomGF", "BetheSelfEnergy"]
+
+
+# ---------------------------------------------------------------------------
+# Jitted fixed points (bulk + surface)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def bethe_sigma_k(E, H, Slist, Vlist, eta,
+                  conv=SURFACE_GREEN_CONVERGENCE, mix=SURFACE_BETHE_MIX,
+                  max_iter=SURFACE_MAX_ITER_BETHE):
+    """Bulk 12-direction Dyson fixed point (surfGBethe.py:957-1030).
+
+    sigma_k[k] satisfies: sigma_k[k] = B_k g_k B_k+ with
+    g_k = inv(A - sum_j sigma_k[j] + sigma_k[opposite(k)]), A = (E - i*eta)
+    - H.  The within-iteration update order (0..11, opposite slot already
+    refreshed for k >= 6) matches the reference for numerical parity.
+    """
+    cdt = jnp.result_type(E, H.dtype, jnp.complex64)
+    A = (E - 1j * eta) * jnp.eye(DIM, dtype=cdt) - H
+    B = (E - 1j * eta) * Slist - Vlist       # (12, 9, 9)
+    Bd = jnp.conj(jnp.swapaxes(B, -1, -2))
+    pair = jnp.asarray(PAIR)
+
+    sig0 = jnp.broadcast_to(-1j * jnp.eye(DIM, dtype=cdt),
+                            (NN, DIM, DIM)).astype(cdt)
+
+    def cond(state):
+        count, diff, sig, _ = state
+        return (diff > conv) & (count < max_iter)
+
+    def body(state):
+        count, diff, sig, _ = state
+        sig_old = sig
+        sig_tot = jnp.sum(sig, axis=0)
+
+        def inner(k, sig):
+            gk = zl.zinv(A - sig_tot + sig[pair[k]])
+            new = mix * (B[k] @ gk @ Bd[k]) + (1 - mix) * sig_old[k]
+            return sig.at[k].set(new)
+
+        sig = lax.fori_loop(0, NN, inner, sig)
+        diff = jnp.max(jnp.abs(sig - sig_old)) / jnp.maximum(
+            jnp.max(jnp.abs(sig_old)), 1e-30)
+        return (count + 1, diff, sig, sig_old)
+
+    _, _, sig, _ = lax.while_loop(cond, body, (0, jnp.inf, sig0, sig0))
+    return sig
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def bethe_sigma_surface(E, H, Slist, Vlist, eta,
+                        conv=SURFACE_GREEN_CONVERGENCE,
+                        mix=SURFACE_BETHE_MIX,
+                        max_iter=SURFACE_MAX_ITER_BETHE):
+    """Surface self-energies: re-relax only the 6 in-plane directions on top
+    of the bulk solution (surfGBethe.py:1032-1108); the 3 downward
+    out-of-plane slots keep their bulk values.  Returns (9, 9, 9)."""
+    sig_bulk = bethe_sigma_k(E, H, Slist, Vlist, eta, conv, mix, max_iter)
+    sig_surf0 = sig_bulk[:9]
+    cdt = sig_surf0.dtype
+    A = (E - 1j * eta) * jnp.eye(DIM, dtype=cdt) - H
+    B = (E - 1j * eta) * Slist - Vlist
+    Bd = jnp.conj(jnp.swapaxes(B, -1, -2))
+    plane = jnp.asarray(PLANE_DIRS)
+
+    def cond(state):
+        count, diff, sig, _ = state
+        return (diff > conv) & (count < max_iter)
+
+    def body(state):
+        count, diff, sig, _ = state
+        sig_old = sig
+        g = zl.zinv(A - jnp.sum(sig, axis=0))
+
+        def inner(i, sig):
+            k = plane[i]
+            new = mix * (B[k] @ g @ Bd[k]) + (1 - mix) * sig_old[k]
+            return sig.at[k].set(new)
+
+        sig = lax.fori_loop(0, len(PLANE_DIRS), inner, sig)
+        diff = jnp.max(jnp.abs(sig - sig_old)) / jnp.maximum(
+            jnp.max(jnp.abs(sig_old)), 1e-30)
+        return (count + 1, diff, sig, sig_old)
+
+    _, _, sig, _ = lax.while_loop(cond, body,
+                                  (0, jnp.inf, sig_surf0, sig_surf0))
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# Per-contact atomic Bethe-lattice object (surfGBAt parity)
+# ---------------------------------------------------------------------------
+
+class BetheAtomGF(_CompatMixin):
+    """Single-atom Bethe-lattice Green's function (surfGBethe.py:832-1186).
+
+    Holds the 9x9 onsite block and 12 (S, V) neighbour matrices; exposes the
+    13-site extended (117x117) F/S so the generic density/Fermi machinery
+    can treat the lattice as a closed system.
+    """
+
+    def __init__(self, H, Slist, Vlist, eta=ETA, T=TEMPERATURE):
+        H = np.asarray(H, dtype=float)
+        Slist = np.asarray(Slist, dtype=float)
+        Vlist = np.asarray(Vlist, dtype=float)
+        assert H.shape == (DIM, DIM)
+        assert Slist.shape == (NN, DIM, DIM)
+        assert Vlist.shape == (NN, DIM, DIM)
+        self.H = H
+        self.Slist = Slist
+        self.Vlist = Vlist
+        self.eta = float(eta)
+        self.T = float(T)
+        self.fermi = None
+        self._rebuild_extended()
+
+    def _rebuild_extended(self):
+        """13-site extended F/S: 12 neighbour blocks then the centre site,
+        coupled by V / S (surfGBethe.py:914-955 layout)."""
+        n = DIM * (NN + 1)
+        F = np.kron(np.eye(NN + 1), self.H)
+        S = np.eye(n)
+        for i in range(NN):
+            sl = slice(i * DIM, (i + 1) * DIM)
+            S[-DIM:, sl] = self.Slist[i]
+            S[sl, -DIM:] = self.Slist[i].T
+            F[-DIM:, sl] = self.Vlist[i]
+            F[sl, -DIM:] = self.Vlist[i].conj().T
+        self.F = F
+        self.S = S
+
+    def update_h(self, fermi=None):
+        """Shift the lattice onsite/hopping terms to a new Fermi level
+        (surfGBethe.py:914-946)."""
+        if fermi is not None and self.fermi is not None \
+                and fermi != self.fermi:
+            d = fermi - self.fermi
+            self.H = self.H + d * np.eye(DIM)
+            self.Vlist = self.Vlist + d * self.Slist
+            self.fermi = fermi
+        self._rebuild_extended()
+
+    # pure-fn provider API ---------------------------------------------
+    def params(self):
+        return {"H": jnp.asarray(self.H), "S": jnp.asarray(self.Slist),
+                "V": jnp.asarray(self.Vlist), "eta": jnp.asarray(self.eta)}
+
+    def total_apply(self):
+        return _atom_total_fn, self.params()
+
+    def contact_apply(self, i):
+        return _atom_total_fn, self.params()
+
+    def num_contacts(self):
+        return 1
+
+    # host-facing methods ----------------------------------------------
+    def sigma_k(self, E, conv=SURFACE_GREEN_CONVERGENCE,
+                mix=SURFACE_BETHE_MIX):
+        p = self.params()
+        return np.asarray(bethe_sigma_k(jnp.asarray(E), p["H"], p["S"],
+                                        p["V"], p["eta"], conv, mix))
+
+    def sigma(self, E, conv=SURFACE_GREEN_CONVERGENCE,
+              mix=SURFACE_BETHE_MIX):
+        p = self.params()
+        return np.asarray(bethe_sigma_surface(jnp.asarray(E), p["H"],
+                                              p["S"], p["V"], p["eta"],
+                                              conv, mix))
+
+    def sigmaTot(self, E, conv=SURFACE_GREEN_CONVERGENCE):
+        """Extended-system total self-energy for density.py-style use
+        (surfGBethe.py:1129-1136)."""
+        fn, p = self.total_apply()
+        return np.asarray(fn(p, jnp.asarray(E)))
+
+    def setF(self, F, mu1, mu2):
+        """Bulk lattice properties are intrinsic -- no-op
+        (surfGBethe.py:1111-1126)."""
+
+    def set_fock(self, F, mu1=None, mu2=None):
+        pass
+
+    def DOS(self, E):
+        sig = self.sigma(E)
+        A = (E - 1j * self.eta) * np.eye(DIM) - self.H - sig.sum(axis=0)
+        Gr = np.linalg.inv(A)
+        return float(-np.trace(Gr).imag / np.pi)
+
+    def calc_fermi(self, ne, f_guess=5.0, tol=FERMI_CALCULATION_TOL,
+                   exec_cfg=None, mesh=None, verbose=True):
+        from gaunegf_tpu.config import ENERGY_MIN, ExecutionConfig
+        from gaunegf_tpu.fermi import get_fermi_contact
+        self.fermi = get_fermi_contact(
+            self, ne, tol, ENERGY_MIN, 1000, T=self.T, n_orbs=DIM,
+            exec_cfg=exec_cfg or ExecutionConfig(), mesh=mesh,
+            verbose=verbose)
+        return self.fermi
+
+    calcFermi = calc_fermi
+
+
+def _atom_total_fn(params, E):
+    """Extended-system Sigma: per-site diagonal blocks sum(sigma_k) -
+    sigma_k[opposite] (surfGBethe.py:1129-1136)."""
+    sig_k = bethe_sigma_k(E, params["H"], params["S"], params["V"],
+                          params["eta"])
+    tot = jnp.sum(sig_k, axis=0)
+    n = DIM * (NN + 1)
+    out = jnp.zeros((n, n), dtype=sig_k.dtype)
+    for k in range(NN):
+        blk = tot - sig_k[PAIR[k]]
+        out = out.at[k * DIM:(k + 1) * DIM, k * DIM:(k + 1) * DIM].set(blk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BetheGeometry:
+    """Host-side geometry spec decoupled from any QC backend.
+
+    coords: (n_atoms, 3) in Angstrom; orbital_atoms: orbital -> 1-based atom
+    number; orbital_types: per-orbital type code (sorted by abs(type)//1000
+    within an atom to get s,p,d ordering -- surfGBethe.py:132).
+    """
+    coords: np.ndarray
+    orbital_atoms: np.ndarray
+    orbital_types: Optional[np.ndarray] = None
+
+    @classmethod
+    def from_backend(cls, backend):
+        if hasattr(backend, "ibfatm"):        # gauopen QCBinAr duck type
+            orb_map = np.asarray(backend.ibfatm)
+            orb_typ = np.asarray(backend.ibftyp)
+            coords = np.asarray(backend.c, dtype=float).reshape(-1, 3) \
+                * BOHR_TO_ANG
+            return cls(coords, orb_map, orb_typ)
+        coords = backend.atom_coords()
+        if coords is None:
+            raise ValueError("Backend provides no atomic coordinates; pass "
+                             "a BetheGeometry explicitly")
+        return cls(np.asarray(coords), np.asarray(backend.locs), None)
+
+
+def _detect_contact(geom: BetheGeometry, contact_atoms: Sequence[int]):
+    """Geometry detection for one contact: orbital indices per atom, surface
+    normal, 12 NN directions and per-atom connected-direction lists
+    (surfGBethe.py:120-188 behaviour)."""
+    coords = geom.coords
+    orb_map = np.asarray(geom.orbital_atoms)
+    pos_mask = orb_map > 0
+    orb_map_pos = orb_map[pos_mask]
+    orb_typ = (np.asarray(geom.orbital_types)[pos_mask]
+               if geom.orbital_types is not None else None)
+
+    inds_list = []
+    c_list = []
+    for atom in contact_atoms:
+        inds = np.where(orb_map_pos == atom)[0]
+        assert len(inds) == DIM, \
+            f"Atom {atom} has {len(inds)} basis functions, expecting {DIM}"
+        if orb_typ is not None:
+            inds = inds[np.argsort(np.abs(orb_typ[inds]) // 1000)]
+        inds_list.append(inds)
+        c_list.append(coords[atom - 1])
+    c_list = np.asarray(c_list)
+
+    centred = c_list - c_list.mean(axis=0)
+    _, _, Vt = np.linalg.svd(centred)
+    normal = Vt[-1]
+    outward = c_list.mean(axis=0) - coords.mean(axis=0)
+    if np.dot(outward, normal) < 0:
+        normal = -normal
+
+    # one lattice direction: nearest neighbour within the contact
+    d = np.linalg.norm(c_list[1:] - c_list[0], axis=1)
+    v_ind = int(np.argmin(d)) + 1
+    lat_vec = c_list[v_ind] - c_list[0]
+    lat_dist = float(np.linalg.norm(lat_vec))
+    lat_unit = lat_vec / lat_dist
+
+    n_vecs1 = sk.fcc111_neighbor_directions(normal, lat_unit)
+    n_vecs2 = sk.fcc111_neighbor_directions(normal, -lat_unit)
+    out_of_plane = {3, 4, 5, 9, 10, 11}
+
+    n_ind_list = []
+    n_vecs = n_vecs1
+    for c in c_list:
+        # all physical neighbours of this atom (within 0.8-1.2 of NN dist)
+        n_at_vecs = []
+        for c2 in coords:
+            l = np.linalg.norm(c2 - c)
+            if 0.8 * lat_dist < l < 1.2 * lat_dist and not np.allclose(c2, c):
+                n_at_vecs.append((c2 - c) / l)
+        # orientation disambiguation: if any neighbour aligns with an
+        # out-of-plane direction of the mirrored set, use the mirrored set
+        n_vecs = n_vecs1
+        for vec in n_at_vecs:
+            vals = n_vecs2 @ vec
+            best = int(np.argmax(vals))
+            if best in out_of_plane and vals[best] > 0.9:
+                n_vecs = n_vecs2
+                break
+        n_inds = []
+        for vec in n_at_vecs:
+            vals = n_vecs @ vec
+            best = int(np.argmax(vals))
+            if vals[best] > 0.9:
+                n_inds.append(best)
+            else:
+                print(f"Warning: Lattice Vec #{best} mismatch, neighbor "
+                      "not recorded")
+        n_ind_list.append(n_inds)
+    return inds_list, normal, lat_unit, n_vecs, n_ind_list
+
+
+# ---------------------------------------------------------------------------
+# Full Bethe self-energy provider (surfGB parity)
+# ---------------------------------------------------------------------------
+
+class BetheSelfEnergy(_CompatMixin):
+    """Bethe-lattice contact self-energy provider for a device F/S."""
+
+    def __init__(self, F, S, contacts: Sequence[Sequence[int]],
+                 geometry: BetheGeometry, lat_file: str = "Au",
+                 spin: str = "r", eta: float = ETA, T: float = TEMPERATURE,
+                 fermi: Optional[float] = None, exec_cfg=None, mesh=None,
+                 verbose=True):
+        self.F = np.asarray(F)
+        self.S = np.asarray(S)
+        self.spin = spin
+        self.eta = float(eta)
+        self.T = float(T)
+        self.params_sk = (sk.parse_bethe_file(lat_file)
+                          if isinstance(lat_file, str) else lat_file)
+        sk.validate_slater_koster(self.params_sk, atol=1e-8)
+        self.orthogonal = self.params_sk.orthogonal
+        self.N = (self.S.shape[0] if spin == "r" else self.S.shape[0] // 2)
+
+        Xi_full = np.asarray(zl.fractional_matrix_power(
+            jnp.asarray(self.S), 0.5))
+        self.Xi = Xi_full if spin == "r" else Xi_full[::2, ::2]
+
+        self.inds_lists: List[List[np.ndarray]] = []
+        self.n_ind_lists = []
+        self.dir_lists = []
+        self.c_vecs = []
+        self.lat_vecs = []
+        self.g_list: List[BetheAtomGF] = []
+        for contact in contacts:
+            inds_list, normal, lat, n_vecs, n_inds = _detect_contact(
+                geometry, contact)
+            self.inds_lists.append(inds_list)
+            self.c_vecs.append(normal)
+            self.lat_vecs.append(lat)
+            self.dir_lists.append(n_vecs)
+            self.n_ind_lists.append(n_inds)
+            Slist = np.stack([sk.bond_matrix(self.params_sk.overlap, d)
+                              for d in n_vecs])
+            Vlist = np.stack([sk.bond_matrix(self.params_sk.hopping, d)
+                              for d in n_vecs])
+            self.g_list.append(BetheAtomGF(self.params_sk.h0(), Slist,
+                                           Vlist, eta, T))
+        if fermi is None:
+            fermi = self.g_list[0].calc_fermi(
+                self.params_sk.ne / 2, exec_cfg=exec_cfg, mesh=mesh,
+                verbose=verbose)
+        for g in self.g_list:
+            g.fermi = fermi
+        self.fermi = fermi
+
+    @classmethod
+    def from_backend(cls, F, S, contacts, backend, lat_file="Au", spin="r",
+                     eta=ETA, T=TEMPERATURE, geometry=None, **kw):
+        if geometry is None:
+            geometry = BetheGeometry.from_backend(
+                getattr(backend, "bar", backend))
+        return cls(F, S, contacts, geometry, lat_file, spin, eta, T, **kw)
+
+    # ------------------------------------------------------------------
+    def num_contacts(self):
+        return len(self.g_list)
+
+    def _embed(self, sig_surf, i):
+        """Assemble the device-size Sigma for contact i: per atom, sum of
+        the 9 surface directions minus those connected to the device
+        (surfGBethe.py:512-527)."""
+        sig = np.zeros((self.N, self.N), dtype=complex)
+        for n_inds, f_inds in zip(self.n_ind_lists[i], self.inds_lists[i]):
+            sig_atom = sig_surf[:9].sum(axis=0)
+            for k in n_inds:
+                if k < 9:
+                    sig_atom = sig_atom - sig_surf[k]
+            sig[np.ix_(f_inds, f_inds)] = sig_atom
+        if self.orthogonal:
+            sig = self.Xi @ sig @ self.Xi
+        return sig
+
+    def _expand_spin(self, sig):
+        if self.spin in ("u", "ro"):
+            return np.kron(np.eye(2), sig)
+        if self.spin == "g":
+            return np.kron(sig, np.eye(2))
+        return sig
+
+    def sigma(self, E, i, conv=SURFACE_GREEN_CONVERGENCE):
+        i = i % len(self.g_list)
+        sig_surf = self.g_list[i].sigma(E, conv)
+        return self._expand_spin(self._embed(sig_surf, i))
+
+    def sigmaTot(self, E, conv=SURFACE_GREEN_CONVERGENCE):
+        tot = sum(self.sigma(E, i, conv)
+                  for i in range(len(self.g_list)))
+        return tot
+
+    def getSigma(self, Elist=(None, None), conv=SURFACE_GREEN_CONVERGENCE):
+        E0 = self.g_list[0].fermi if Elist[0] is None else Elist[0]
+        E1 = self.g_list[-1].fermi if Elist[1] is None else Elist[1]
+        return self.sigma(E0, 0, conv), self.sigma(E1, -1, conv)
+
+    def update_fermi(self, i, Ef):
+        self.g_list[i].update_h(Ef)
+
+    updateFermi = update_fermi
+
+    def set_fock(self, F, muL=None, muR=None):
+        """Track the device Fock matrix; realign contact Fermi levels
+        (surfGBethe.py:625-645)."""
+        self.F = np.asarray(F)
+        if muL is not None and self.g_list[0].fermi != muL:
+            self.update_fermi(0, muL)
+        if muR is not None and self.g_list[-1].fermi != muR:
+            self.update_fermi(-1, muR)
+
+    # pure-fn provider API for the energy engines ----------------------
+    def params(self):
+        return {
+            "contacts": tuple(g.params() for g in self.g_list),
+        }
+
+    def _static_key(self):
+        inds = tuple(tuple(tuple(int(x) for x in a) for a in il)
+                     for il in self.inds_lists)
+        nind = tuple(tuple(tuple(n) for n in nl) for nl in self.n_ind_lists)
+        return (inds, nind, self.N, self.spin, self.orthogonal)
+
+    def total_apply(self):
+        fn = _bethe_total_fn(self._static_key(),
+                             _HashableArray(self.Xi))
+        return fn, self.params()
+
+    def contact_apply(self, i):
+        i = i % len(self.g_list)
+        fn = _bethe_contact_fn(self._static_key(),
+                               _HashableArray(self.Xi), i)
+        return fn, self.params()
+
+
+class _HashableArray:
+    """Hash wrapper so host-side constants can key lru_cached closures."""
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+        self._key = (self.arr.shape, self.arr.dtype.str,
+                     hash(self.arr.tobytes()))
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashableArray) and \
+            self._key == other._key and np.array_equal(self.arr, other.arr)
+
+
+@lru_cache(maxsize=None)
+def _bethe_contact_fn(static_key, Xi_h, i: int):
+    inds, nind, N, spin, orthogonal = static_key
+    Xi = jnp.asarray(Xi_h.arr)
+
+    def fn(params, E):
+        p = params["contacts"][i]
+        sig_surf = bethe_sigma_surface(E, p["H"], p["S"], p["V"], p["eta"])
+        sig = jnp.zeros((N, N), dtype=sig_surf.dtype)
+        for n_inds, f_inds in zip(nind[i], inds[i]):
+            sig_atom = jnp.sum(sig_surf[:9], axis=0)
+            for k in n_inds:
+                if k < 9:
+                    sig_atom = sig_atom - sig_surf[k]
+            ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
+            sig = sig.at[ix].set(sig_atom)
+        if orthogonal:
+            sig = Xi @ sig @ Xi
+        if spin in ("u", "ro"):
+            sig = jnp.kron(jnp.eye(2), sig)
+        elif spin == "g":
+            sig = jnp.kron(sig, jnp.eye(2))
+        return sig
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _bethe_total_fn(static_key, Xi_h):
+    n_contacts = len(static_key[0])
+
+    def fn(params, E):
+        tot = _bethe_contact_fn(static_key, Xi_h, 0)(params, E)
+        for i in range(1, n_contacts):
+            tot = tot + _bethe_contact_fn(static_key, Xi_h, i)(params, E)
+        return tot
+
+    return fn

@@ -1,0 +1,166 @@
+"""Bethe-lattice electrodes vs reference goldens (surfGBethe parity)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gaunegf_tpu.models import bethe as bt
+from gaunegf_tpu.models import slater_koster as sk
+
+GOLD = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                            "golden_bethe.npz"))
+
+
+def _au_params():
+    keys = [str(k) for k in GOLD["Au_keys"]]
+    vals = GOLD["Au_vals"]
+    return sk.bethe_params_from_dict(dict(zip(keys, vals)))
+
+
+def test_bethe_params_and_h0():
+    p = _au_params()
+    assert p.ne == 11
+    assert not p.orthogonal
+    assert np.max(np.abs(p.h0() - GOLD["H0"])) < 1e-12
+
+
+def test_orthogonal_param_set():
+    keys = [str(k) for k in GOLD["Au2_keys"]]
+    p2 = sk.bethe_params_from_dict(dict(zip(keys, GOLD["Au2_vals"])))
+    assert p2.orthogonal
+
+
+def test_sk_matrices_match_reference():
+    p = _au_params()
+    for d, Vref, Sref in zip(GOLD["sk_dirs"], GOLD["sk_V"], GOLD["sk_S"]):
+        V = sk.bond_matrix(p.hopping, d)
+        S = sk.bond_matrix(p.overlap, d)
+        assert np.max(np.abs(V - Vref)) < 1e-10
+        assert np.max(np.abs(S - Sref)) < 1e-10
+
+
+def test_sk_validation_passes_on_au():
+    sk.validate_slater_koster(_au_params(), atol=1e-8)
+
+
+def test_neighbor_directions_match_reference():
+    got = sk.fcc111_neighbor_directions(GOLD["nn_normal"], GOLD["nn_first"])
+    assert got.shape == (12, 3)
+    assert np.max(np.abs(got - GOLD["nn_vecs"])) < 1e-10
+    # opposite pairing (k+6)%12
+    for k in range(6):
+        assert np.allclose(got[k], -got[k + 6])
+
+
+def _atom_gf():
+    p = _au_params()
+    nvecs = GOLD["nn_vecs"]
+    Slist = np.stack([sk.bond_matrix(p.overlap, d) for d in nvecs])
+    Vlist = np.stack([sk.bond_matrix(p.hopping, d) for d in nvecs])
+    return bt.BetheAtomGF(p.h0(), Slist, Vlist, eta=1e-6, T=0.0)
+
+
+def test_extended_lattice_matrices():
+    g = _atom_gf()
+    assert np.max(np.abs(g.F - GOLD["at_F"])) < 1e-10
+    assert np.max(np.abs(g.S - GOLD["at_S"])) < 1e-10
+
+
+def test_bulk_sigma_k_matches_reference():
+    g = _atom_gf()
+    for E, ref in zip(GOLD["at_Es"], GOLD["at_sigmaK"]):
+        got = g.sigma_k(float(E))
+        assert np.max(np.abs(got - ref)) < 5e-4, E
+
+
+def test_surface_sigma_matches_reference():
+    g = _atom_gf()
+    for E, ref in zip(GOLD["at_Es"], GOLD["at_sigma"]):
+        got = g.sigma(float(E))
+        assert np.max(np.abs(got - ref)) < 5e-4, E
+
+
+def test_extended_sigma_tot_and_dos():
+    g = _atom_gf()
+    tot = g.sigmaTot(0.0)
+    assert np.max(np.abs(tot - GOLD["at_sigmaTot_0"])) < 5e-4
+    dos = np.array([g.DOS(float(E)) for E in GOLD["at_Es"]])
+    assert np.max(np.abs(dos - GOLD["at_DOS"])) < 1e-2
+    assert np.all(dos > -1e-9)
+
+
+def _fcc_slab_geometry(d=2.88):
+    """Synthetic FCC [111] two-layer slab + molecule below: 3-atom contact
+    triangle (top layer), 3 atoms of the second layer, one device atom."""
+    u1 = np.array([1.0, 0.0, 0.0]) * d
+    u2 = np.array([0.5, np.sqrt(3) / 2, 0.0]) * d
+    z_down = np.array([0.5, 0.5 / np.sqrt(3), -np.sqrt(2.0 / 3.0)]) * d
+    top = [np.zeros(3), u1, u2]
+    # full second layer patch: each top atom gets its 3 below-neighbours
+    second = []
+    for m in (-1, 0, 1):
+        for n in (-1, 0, 1):
+            second.append(z_down + m * u1 + n * u2)
+    device = [np.array([1.0, 0.6, -4.5 * d])]
+    coords = np.stack(top + second + device)
+    n_metal = len(top) + len(second)
+    orb_atoms = []
+    for atom in range(1, len(coords) + 1):
+        n_orb = 9 if atom <= n_metal else 4
+        orb_atoms += [atom] * n_orb
+    return bt.BetheGeometry(coords + 7.0, np.asarray(orb_atoms), None)
+
+
+def test_geometry_detection():
+    geom = _fcc_slab_geometry()
+    inds_list, normal, lat, n_vecs, n_inds = bt._detect_contact(
+        geom, [1, 2, 3])
+    assert len(inds_list) == 3 and all(len(i) == 9 for i in inds_list)
+    # surface normal should be +z (outward from the slab)
+    assert abs(abs(normal[2]) - 1) < 1e-6
+    # every contact atom sees its 2 in-plane partners and 3 second-layer
+    # neighbours -> 5 matched directions each
+    assert all(len(n) == 5 for n in n_inds)
+    # matched directions must be unit FCC neighbour slots
+    for n in n_inds:
+        assert all(0 <= k < 12 for k in n)
+
+
+def test_full_bethe_provider():
+    geom = _fcc_slab_geometry()
+    n_orb = 12 * 9 + 4
+    F = np.zeros((n_orb, n_orb))
+    S = np.eye(n_orb)
+    prov = bt.BetheSelfEnergy(
+        F, S, [[1, 2, 3]], geom,
+        lat_file=os.path.join(os.path.dirname(bt.__file__), "..", "data",
+                              "demo.bethe"),
+        eta=1e-6, T=0.0, fermi=0.0, verbose=False)
+    sig = prov.sigmaTot(-2.0)
+    assert sig.shape == (n_orb, n_orb)
+    # sigma acts only on the contact orbitals
+    assert np.max(np.abs(sig[27:, 27:])) < 1e-12
+    blk = sig[:27, :27]
+    assert np.max(np.abs(blk)) > 1e-3
+    # retarded: spectral function of the contact block is PSD-ish
+    gam = 1j * (blk - blk.conj().T)
+    w = np.linalg.eigvalsh(gam)
+    assert w.min() > -1e-6
+
+    # provider pure-fn API agrees with the host API
+    fn, params = prov.total_apply()
+    import jax.numpy as jnp
+    got = np.asarray(fn(params, jnp.asarray(-2.0 + 0j)))
+    assert np.max(np.abs(got - sig)) < 1e-8
+
+
+def test_bethe_fermi_shift():
+    g = _atom_gf()
+    g.fermi = 0.0
+    H_before = g.H.copy()
+    V_before = g.Vlist.copy()
+    g.update_h(1.5)
+    assert np.allclose(g.H, H_before + 1.5 * np.eye(9))
+    assert np.allclose(g.Vlist, V_before + 1.5 * g.Slist)
+    assert g.fermi == 1.5
