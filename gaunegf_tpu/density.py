@@ -103,10 +103,14 @@ def bisect_fermi(V, Vc, D, Gam, Nexp, conv=FERMI_CALCULATION_TOL,
 
 
 def dos_at_energy(E, F, S, sigma_total):
-    """DOS(E) = -Im tr G / pi for a precomputed total self-energy."""
-    A = jnp.asarray(E) * jnp.asarray(S) - jnp.asarray(F) - jnp.asarray(sigma_total)
-    G = zl.zinv(A)
-    return float(-jnp.imag(jnp.trace(G)) / jnp.pi)
+    """DOS(E) = -Im tr G / pi for a precomputed total self-energy.
+
+    Single-energy probe used by host-driven searches (calc_emin, bisect
+    step-size heuristics); runs on the host CPU -- no device round-trip.
+    """
+    A = E * np.asarray(S) - np.asarray(F) - np.asarray(sigma_total)
+    G = np.linalg.inv(A)
+    return float(-np.imag(np.trace(G)) / np.pi)
 
 
 # ---------------------------------------------------------------------------

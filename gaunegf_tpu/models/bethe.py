@@ -185,8 +185,9 @@ class BetheAtomGF(_CompatMixin):
 
     # pure-fn provider API ---------------------------------------------
     def params(self):
-        return {"H": jnp.asarray(self.H), "S": jnp.asarray(self.Slist),
-                "V": jnp.asarray(self.Vlist), "eta": jnp.asarray(self.eta)}
+        # host-side NumPy; split at the engine boundary (ops/complexio.py)
+        return {"H": np.asarray(self.H), "S": np.asarray(self.Slist),
+                "V": np.asarray(self.Vlist), "eta": np.float64(self.eta)}
 
     def total_apply(self):
         return _atom_total_fn, self.params()
@@ -200,22 +201,20 @@ class BetheAtomGF(_CompatMixin):
     # host-facing methods ----------------------------------------------
     def sigma_k(self, E, conv=SURFACE_GREEN_CONVERGENCE,
                 mix=SURFACE_BETHE_MIX):
-        p = self.params()
-        return np.asarray(bethe_sigma_k(jnp.asarray(E), p["H"], p["S"],
-                                        p["V"], p["eta"], conv, mix))
+        from gaunegf_tpu.ops.complexio import call_complex_safe
+        return call_complex_safe(_sigma_k_fn, self.params(), complex(E))
 
     def sigma(self, E, conv=SURFACE_GREEN_CONVERGENCE,
               mix=SURFACE_BETHE_MIX):
-        p = self.params()
-        return np.asarray(bethe_sigma_surface(jnp.asarray(E), p["H"],
-                                              p["S"], p["V"], p["eta"],
-                                              conv, mix))
+        from gaunegf_tpu.ops.complexio import call_complex_safe
+        return call_complex_safe(_sigma_surf_fn, self.params(), complex(E))
 
     def sigmaTot(self, E, conv=SURFACE_GREEN_CONVERGENCE):
         """Extended-system total self-energy for density.py-style use
         (surfGBethe.py:1129-1136)."""
+        from gaunegf_tpu.ops.complexio import call_complex_safe
         fn, p = self.total_apply()
-        return np.asarray(fn(p, jnp.asarray(E)))
+        return call_complex_safe(fn, p, complex(E))
 
     def setF(self, F, mu1, mu2):
         """Bulk lattice properties are intrinsic -- no-op
@@ -241,6 +240,16 @@ class BetheAtomGF(_CompatMixin):
         return self.fermi
 
     calcFermi = calc_fermi
+
+
+def _sigma_k_fn(params, E):
+    return bethe_sigma_k(E, params["H"], params["S"], params["V"],
+                         params["eta"])
+
+
+def _sigma_surf_fn(params, E):
+    return bethe_sigma_surface(E, params["H"], params["S"], params["V"],
+                               params["eta"])
 
 
 def _atom_total_fn(params, E):
@@ -427,37 +436,15 @@ class BetheSelfEnergy(_CompatMixin):
     def num_contacts(self):
         return len(self.g_list)
 
-    def _embed(self, sig_surf, i):
-        """Assemble the device-size Sigma for contact i: per atom, sum of
-        the 9 surface directions minus those connected to the device
-        (surfGBethe.py:512-527)."""
-        sig = np.zeros((self.N, self.N), dtype=complex)
-        for n_inds, f_inds in zip(self.n_ind_lists[i], self.inds_lists[i]):
-            sig_atom = sig_surf[:9].sum(axis=0)
-            for k in n_inds:
-                if k < 9:
-                    sig_atom = sig_atom - sig_surf[k]
-            sig[np.ix_(f_inds, f_inds)] = sig_atom
-        if self.orthogonal:
-            sig = self.Xi @ sig @ self.Xi
-        return sig
-
-    def _expand_spin(self, sig):
-        if self.spin in ("u", "ro"):
-            return np.kron(np.eye(2), sig)
-        if self.spin == "g":
-            return np.kron(sig, np.eye(2))
-        return sig
-
     def sigma(self, E, i, conv=SURFACE_GREEN_CONVERGENCE):
-        i = i % len(self.g_list)
-        sig_surf = self.g_list[i].sigma(E, conv)
-        return self._expand_spin(self._embed(sig_surf, i))
+        from gaunegf_tpu.ops.complexio import call_complex_safe
+        fn, params = self.contact_apply(i)
+        return call_complex_safe(fn, params, complex(E))
 
     def sigmaTot(self, E, conv=SURFACE_GREEN_CONVERGENCE):
-        tot = sum(self.sigma(E, i, conv)
-                  for i in range(len(self.g_list)))
-        return tot
+        from gaunegf_tpu.ops.complexio import call_complex_safe
+        fn, params = self.total_apply()
+        return call_complex_safe(fn, params, complex(E))
 
     def getSigma(self, Elist=(None, None), conv=SURFACE_GREEN_CONVERGENCE):
         E0 = self.g_list[0].fermi if Elist[0] is None else Elist[0]

@@ -109,6 +109,18 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
+def _chain_surface_fn(eta, method, conv):
+    def fn(contact, E):
+        A = (E + 1j * eta) * contact["Salpha"] - contact["alpha"]
+        B = (E + 1j * eta) * contact["Sbeta"] - contact["beta"]
+        if method == "dyson":
+            return surface_g_dyson(A, B, conv)
+        return surface_g_sancho(A, B, conv)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
 def _chain_contact_fn(static_key, i: int):
     """Pure sigma_i(params, E) with identity cached on the static geometry,
     so engine jit caches survive SCF parameter updates."""
@@ -202,21 +214,22 @@ class Chain1DSelfEnergy(_CompatMixin):
 
     # -- pure API -------------------------------------------------------
     def params(self):
+        # host-side NumPy pytree; complex leaves are split into re/im float
+        # pairs at the device boundary by the engines
         return {
             "contacts": tuple(
                 {
-                    "alpha": jnp.asarray(self.a_list[i]),
-                    "Salpha": jnp.asarray(self.aS_list[i]),
-                    "beta": jnp.asarray(self.b_list[i]),
-                    "Sbeta": jnp.asarray(self.bS_list[i]),
-                    "tau": jnp.asarray(self.tau_list[i] if i < len(self.tau_list)
-                                       else self.tau_list[-1]),
-                    "stau": jnp.asarray(self.stau_list[i] if i < len(self.stau_list)
-                                        else self.stau_list[-1]),
+                    "alpha": np.asarray(self.a_list[i], dtype=complex),
+                    "Salpha": np.asarray(self.aS_list[i]),
+                    "beta": np.asarray(self.b_list[i], dtype=complex),
+                    "Sbeta": np.asarray(self.bS_list[i]),
+                    "tau": np.asarray(self.tau_list[i] if i < len(self.tau_list)
+                                      else self.tau_list[-1], dtype=complex),
+                    "stau": np.asarray(self.stau_list[i] if i < len(self.stau_list)
+                                       else self.stau_list[-1]),
                 }
                 for i in range(len(self.inds_list))
             ),
-            # static metadata rides along outside the pytree leaves:
         }
 
     def _static(self):
@@ -233,14 +246,11 @@ class Chain1DSelfEnergy(_CompatMixin):
 
     def surface_g(self, E, i, conv=None):
         """Surface Green's function of contact i at (possibly complex) E."""
-        c = self.params()["contacts"][i]
-        E = jnp.asarray(E, dtype=jnp.result_type(c["alpha"].dtype, complex))
-        A = (E + 1j * self.eta) * c["Salpha"] - c["alpha"]
-        B = (E + 1j * self.eta) * c["Sbeta"] - c["beta"]
+        from gaunegf_tpu.ops.complexio import call_complex_safe
         conv = self.conv if conv is None else conv
-        if self.method == "dyson":
-            return surface_g_dyson(A, B, conv)
-        return surface_g_sancho(A, B, conv)
+        fn = _chain_surface_fn(self.eta, self.method, float(conv))
+        return call_complex_safe(fn, self.params()["contacts"][i % len(
+            self.inds_list)], complex(E))
 
     # staticmethod-style pure functions used by the engines ------------
     @staticmethod
@@ -266,28 +276,6 @@ class Chain1DSelfEnergy(_CompatMixin):
         i = i % len(self.inds_list)
         return _chain_contact_fn(self._static_key(), i), self.params()
 
-    def make_sigma_fns(self):
-        """Convenience closures over the current parameters (host use)."""
-        tot_fn, params = self.total_apply()
-        statkey = self._static_key()
-
-        def sigma_contact_fn(E, i):
-            return _chain_contact_fn(statkey, i)(params, E)
-
-        def sigma_total_fn(E):
-            return tot_fn(params, E)
-
-        return sigma_total_fn, sigma_contact_fn
-
-    # -- reference-compatible host API ---------------------------------
-    def sigma(self, E, i, conv=None):
-        _, fn = self.make_sigma_fns()
-        i = i % len(self.inds_list)
-        return np.asarray(fn(jnp.asarray(E), i))
-
-    def sigmaTot(self, E, conv=None):
-        fn, _ = self.make_sigma_fns()
-        return np.asarray(fn(jnp.asarray(E)))
 
     def set_fock(self, F, mu1=None, mu2=None):
         """Update F; replicate surfG1D.setF semantics (surfG1D.py:297-342).

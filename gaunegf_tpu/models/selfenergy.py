@@ -69,13 +69,21 @@ class SelfEnergyProvider(Protocol):
 
 
 class _CompatMixin:
-    """Reference-compatible method names on top of the pure API."""
+    """Reference-compatible method names on top of the pure API.
+
+    All host-facing sigma calls go through the complex-safe jit boundary
+    (ops/complexio.py) so they work on backends without complex transfers.
+    """
 
     def sigma(self, E, i, conv=SURFACE_GREEN_CONVERGENCE):
-        return np.asarray(type(self).sigma_contact(self.params(), jnp.asarray(E), i))
+        from gaunegf_tpu.ops.complexio import call_complex_safe
+        fn, params = self.contact_apply(i)
+        return call_complex_safe(fn, params, complex(E))
 
     def sigmaTot(self, E, conv=SURFACE_GREEN_CONVERGENCE):
-        return np.asarray(type(self).sigma_total(self.params(), jnp.asarray(E)))
+        from gaunegf_tpu.ops.complexio import call_complex_safe
+        fn, params = self.total_apply()
+        return call_complex_safe(fn, params, complex(E))
 
     def setF(self, F, mu1=None, mu2=None):
         self.set_fock(F, mu1, mu2)
@@ -105,7 +113,9 @@ class ConstantSelfEnergy(_CompatMixin):
                 s = np.zeros((self.N, self.N), dtype=complex)
                 s[np.ix_(inds, inds)] = np.diag([-0.05j] * len(inds))
                 sigs.append(s)
-        self._sigs = jnp.asarray(np.stack(sigs))
+        # params stay host-side NumPy: the engines split them into re/im
+        # float pairs at the device boundary (no complex transfers)
+        self._sigs = np.stack(sigs)
 
     # --- pure API -----------------------------------------------------
     def params(self):

@@ -3,7 +3,9 @@
 This replaces the reference's ``_GInt`` dispatcher (integrate.py:84-142):
 instead of "vmap if it fits in 5 GB else scan batches", every call is
 
-    shard_map over the energy axis of the mesh
+    complex-safe boundary (split re/im f32 -- the TPU backend cannot
+    transfer complex arrays; ops/complexio.py)
+    -> shard_map over the energy axis of the mesh
       -> lax.scan over fixed-size chunks          (memory-bounded)
         -> vmap over the chunk                    (batched MXU solves)
           -> blocked complex LU inverse           (ops/zlinalg.py)
@@ -25,17 +27,19 @@ Public entry points:
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Callable, Optional
+from functools import lru_cache
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gaunegf_tpu.config import ExecutionConfig
 from gaunegf_tpu.ops import zlinalg as zl
+from gaunegf_tpu.ops.complexio import (
+    merge_host, merge_tree, split_traced, split_tree)
 from gaunegf_tpu.parallel.mesh import ENERGY_AXIS
 
 __all__ = [
@@ -104,10 +108,9 @@ def _point_gr_diag(E, H, S, params, sig_tot_fn, exec_cfg):
 @lru_cache(maxsize=None)
 def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
                       mesh: Optional[Mesh]):
-    """Jitted engine: (params, H, S, E(nd, nc, ch), w(...)) -> (N, N) sum."""
+    """Jitted engine: split(params, H, S, E(nd,nc,ch), w) -> split((N, N))."""
 
     def device_body(params, H, S, E, w, varying=False):
-        # E, w: (n_chunks, chunk) local shard
         def scan_fn(carry, inputs):
             Eb, wb = inputs
             vals = jax.vmap(
@@ -119,8 +122,6 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
         dt = H.dtype
         init = (jnp.zeros((N, N), dt), jnp.zeros((N, N), dt))
         if varying:
-            # inside shard_map the scanned operands vary over the energy
-            # axis; the carry must be marked varying too
             init = jax.tree_util.tree_map(
                 lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
         (s, c), _ = lax.scan(scan_fn, init, (E, w))
@@ -128,36 +129,37 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
 
     if mesh is None:
         @jax.jit
-        def engine(params, H, S, E, w):
-            # E: (1, n_chunks, chunk)
-            return device_body(params, H, S, E[0], w[0])
+        def engine(params_s, H_s, S_s, E_s, w_s):
+            params, H, S, E, w = merge_tree((params_s, H_s, S_s, E_s, w_s))
+            return split_traced(device_body(params, H, S, E[0], w[0]))
         return engine
 
     from jax.experimental.shard_map import shard_map
 
-    def sharded(params, H, S, E, w):
-        def per_device(params, H, S, E, w):
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, w_s):
+        def per_device(params_s, H_s, S_s, E_s, w_s):
+            params, H, S, E, w = merge_tree((params_s, H_s, S_s, E_s, w_s))
             partial_sum = device_body(params, H, S, E[0], w[0], varying=True)
-            return lax.psum(partial_sum, ENERGY_AXIS)
+            return split_traced(lax.psum(partial_sum, ENERGY_AXIS))
 
         return shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
             out_specs=P(),
-        )(params, H, S, E, w)
+        )(params_s, H_s, S_s, E_s, w_s)
 
-    return jax.jit(sharded)
+    return engine
 
 
 @lru_cache(maxsize=None)
-def _build_map_engine(point_fn_key, fns, exec_cfg: ExecutionConfig,
+def _build_map_engine(point_fn, fns, exec_cfg: ExecutionConfig,
                       mesh: Optional[Mesh]):
     """Jitted engine mapping an observable over the energy grid.
 
     fns is a tuple of sigma-apply functions consumed by the point kernel.
     Returns per-energy values with the input's (nd, nc, ch) layout.
     """
-    point_fn = point_fn_key
 
     def device_body(params, H, S, E):
         def scan_fn(_, Eb):
@@ -170,23 +172,26 @@ def _build_map_engine(point_fn_key, fns, exec_cfg: ExecutionConfig,
 
     if mesh is None:
         @jax.jit
-        def engine(params, H, S, E):
-            return device_body(params, H, S, E[0])[None]
+        def engine(params_s, H_s, S_s, E_s):
+            params, H, S, E = merge_tree((params_s, H_s, S_s, E_s))
+            return split_traced(device_body(params, H, S, E[0])[None])
         return engine
 
     from jax.experimental.shard_map import shard_map
 
-    def sharded(params, H, S, E):
-        def per_device(params, H, S, E):
-            return device_body(params, H, S, E[0])[None]
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s):
+        def per_device(params_s, H_s, S_s, E_s):
+            params, H, S, E = merge_tree((params_s, H_s, S_s, E_s))
+            return split_traced(device_body(params, H, S, E[0])[None])
 
         return shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P(), P(ENERGY_AXIS)),
             out_specs=P(ENERGY_AXIS),
-        )(params, H, S, E)
+        )(params_s, H_s, S_s, E_s)
 
-    return jax.jit(sharded)
+    return engine
 
 
 # ---------------------------------------------------------------------------
@@ -221,18 +226,18 @@ def _unlayout(vals, n):
     return flat[:n]
 
 
-def _cdtype(H, E, exec_cfg):
+def _cdtype(exec_cfg):
     # x64 runtimes (CPU goldens / strict runs) use complex128; TPU runtimes
     # use complex64 with optional iterative refinement ('mixed').
     if jax.config.jax_enable_x64:
-        return jnp.complex128
-    return jnp.complex64
+        return np.complex128
+    return np.complex64
 
 
 class EnergyEngine:
     """Bound engine for a fixed (H, S, provider) system.
 
-    Prepares device-resident H/S and provider params once; methods accept
+    Prepares split-complex H/S and provider params once; methods accept
     host-side energy grids and return host numpy results.
     """
 
@@ -241,27 +246,31 @@ class EnergyEngine:
         self.provider = provider
         self.exec_cfg = exec_cfg
         self.mesh = mesh
-        dt = _cdtype(H, None, exec_cfg)
-        self.H = jnp.asarray(H, dtype=dt)
-        self.S = jnp.asarray(S, dtype=dt)
-        self.dtype = dt
+        self.cdtype = _cdtype(exec_cfg)
+        self.H_s = split_tree(np.asarray(H, dtype=self.cdtype), self.cdtype)
+        self.S_s = split_tree(np.asarray(S, dtype=self.cdtype), self.cdtype)
 
     def _prep(self, E, w):
         E_lay, w_lay, n, _ = _layout(
             np.asarray(E, dtype=np.complex128),
             None if w is None else np.asarray(w, dtype=np.complex128),
             self.mesh, self.exec_cfg.energy_chunk)
-        E_j = jnp.asarray(E_lay, dtype=self.dtype)
-        w_j = None if w_lay is None else jnp.asarray(w_lay, dtype=self.dtype)
-        return E_j, w_j, n
+        E_s = split_tree(E_lay.astype(self.cdtype), self.cdtype)
+        w_s = None if w_lay is None else split_tree(
+            w_lay.astype(self.cdtype), self.cdtype)
+        return E_s, w_s, n
+
+    def _params_split(self, params):
+        return split_tree(params, self.cdtype)
 
     def gr_sum(self, E, w):
         """sum_k w_k G(E_k); parity with integrate.GrInt."""
         fn, params = self.provider.total_apply()
         eng = _build_sum_engine(_point_gr_weighted, fn, None,
                                 self.exec_cfg, self.mesh)
-        E_j, w_j, _ = self._prep(E, w)
-        return np.asarray(eng(params, self.H, self.S, E_j, w_j))
+        E_s, w_s, _ = self._prep(E, w)
+        out = eng(self._params_split(params), self.H_s, self.S_s, E_s, w_s)
+        return merge_host(out).astype(np.complex128)
 
     def gless_sum(self, E, w, contact: Optional[int] = None):
         """sum_k w_k [G Gamma_i G^+](E_k); parity with integrate.GrLessInt."""
@@ -272,8 +281,9 @@ class EnergyEngine:
             fn, _ = self.provider.total_apply()
         eng = _build_sum_engine(_point_gless_weighted, fn, cfn,
                                 self.exec_cfg, self.mesh)
-        E_j, w_j, _ = self._prep(E, w)
-        return np.asarray(eng(params, self.H, self.S, E_j, w_j))
+        E_s, w_s, _ = self._prep(E, w)
+        out = eng(self._params_split(params), self.H_s, self.S_s, E_s, w_s)
+        return merge_host(out).astype(np.complex128)
 
     def transmission(self, E):
         """T(E) over the grid (restricted channel)."""
@@ -282,17 +292,28 @@ class EnergyEngine:
         g2, _ = self.provider.contact_apply(-1)
         eng = _build_map_engine(_point_transmission, (fn, g1, g2),
                                 self.exec_cfg, self.mesh)
-        E_j, _, n = self._prep(E, None)
-        out = eng(params, self.H, self.S, E_j)
+        E_s, _, n = self._prep(E, None)
+        out = merge_host(eng(self._params_split(params), self.H_s,
+                             self.S_s, E_s))
         return _unlayout(out, n).real
+
+    def map_engine(self, point_fn, fns, E):
+        """Run a custom per-energy observable kernel over the grid."""
+        _, params = self.provider.total_apply()
+        eng = _build_map_engine(point_fn, fns, self.exec_cfg, self.mesh)
+        E_s, _, n = self._prep(E, None)
+        out = merge_host(eng(self._params_split(params), self.H_s,
+                             self.S_s, E_s))
+        return _unlayout(out, n)
 
     def gr_diag(self, E):
         """diag G(E) over the grid (DOS building block)."""
         fn, params = self.provider.total_apply()
         eng = _build_map_engine(_point_gr_diag, (fn,),
                                 self.exec_cfg, self.mesh)
-        E_j, _, n = self._prep(E, None)
-        out = eng(params, self.H, self.S, E_j)
+        E_s, _, n = self._prep(E, None)
+        out = merge_host(eng(self._params_split(params), self.H_s,
+                             self.S_s, E_s))
         return _unlayout(out, n)
 
     def dos(self, E):

@@ -44,7 +44,7 @@ class _StaticSigma:
         def to_mat(s):
             s = np.asarray(s)
             return np.diag(s) if s.ndim == 1 else s
-        self._sigs = jnp.asarray(np.stack([to_mat(sig1), to_mat(sig2)]))
+        self._sigs = np.stack([to_mat(sig1), to_mat(sig2)]).astype(complex)
 
     def params(self):
         return {"sigs": self._sigs}
@@ -279,14 +279,11 @@ def calculate_transmission(F, S, sigma_source, energy_list, spin=None,
         for idx in _batched_sweep(None, remaining, batch):
             E = energy_list[idx]
             if is_spin:
-                tot_fn, params = prov.total_apply()
+                tot_fn, _ = prov.total_apply()
                 g1_fn, _ = prov.contact_apply(0)
                 g2_fn, _ = prov.contact_apply(-1)
-                engine = _build_map_engine(
-                    _point_transmission_spin, (tot_fn, g1_fn, g2_fn),
-                    exec_cfg, mesh)
-                E_j, _, nn = eng._prep(E, None)
-                out = _unlayout(engine(params, eng.H, eng.S, E_j), nn)
+                out = eng.map_engine(_point_transmission_spin,
+                                     (tot_fn, g1_fn, g2_fn), E)
                 state["spin_transmission"][idx] = out
                 state["transmission"][idx] = out.sum(axis=-1)
             else:
