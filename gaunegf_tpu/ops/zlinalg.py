@@ -6,21 +6,31 @@ The whole NEGF workload is "invert (E*S - H - Sigma(E)) for thousands of E".
 The reference does ``jnp.linalg.solve`` per energy (gauNEGF/integrate.py:71,78)
 which lowers to a LAPACK/custom LU call.  On TPU:
 
-* complex LU / solve is UNIMPLEMENTED in the backend, and
+* complex LU / solve is UNIMPLEMENTED in the backend (as are complex
+  host<->device transfers, see ops/complexio.py), and
 * the real f32 LU custom call lowers to an unblocked sequential loop that is
   ~1000x slower than the machine's matmul throughput.
 
-So the hot path here is a hand-written *blocked* LU with partial pivoting,
-formulated so that >95% of the flops are complex matmuls on the MXU, with the
-O(N^2 * BS) panel work on the VPU.  It is a pure-JAX implementation (vmaps and
-shards cleanly over the energy axis); a Pallas variant can slot in later
-behind the same API.
+So the hot path is a hand-written *blocked* LU solve with partial pivoting,
+engineered for XLA:TPU's execution model:
+
+* panel factorization: ONE fused lax.fori_loop per panel doing pivot
+  search + swap + rank-1 update, with the permutation composed in-register;
+* pivoting applied to the rest of the matrix as a single gather per panel
+  (not a swap loop);
+* triangular solves and trailing updates as complex matmuls on the MXU;
+* diagonal-block triangular inverses by batched block-doubling (one short
+  vmapped base loop + log2(bs) matmul levels).
+
+Total sequential-step count per solve is ~N + O(log) instead of the ~5N of
+a naive formulation -- the difference between VPU-loop-bound and
+MXU-throughput-bound on real hardware.
 
 Precision strategy (TPU has no native f64):
 * 'fast'   : complex64 blocked LU.
 * 'mixed'  : complex64 blocked LU + Newton iterative refinement of the
              inverse, with residuals computed by double-float ("two-float
-             split") matmuls -> typical forward error 1e-6..1e-7.
+             split") matmuls -> typical forward error ~1e-6.
 * 'strict' : complex128 via LAPACK (CPU / x64 platforms).
 
 Reference parity: utils.py:12-62 (inv/eig/eigh/fractional_matrix_power).
@@ -37,12 +47,13 @@ import numpy as np
 from jax import lax
 
 __all__ = [
-    "zlu", "zlu_solve", "zsolve", "zinv", "zinv_refined",
+    "zsolve", "zinv", "zinv_refined",
     "inv", "solve", "eigh", "eig", "fractional_matrix_power",
     "matmul_hp", "supports_lapack_complex",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
+_TRI_BASE = 32          # base block for triangular inversion
 
 
 def _mm(a, b):
@@ -56,233 +67,254 @@ def supports_lapack_complex() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Small dense triangular inverses (run on a single BS x BS block)
+# Triangular inverses: fori base case + batched block-doubling
 # ---------------------------------------------------------------------------
 
 def _tri_inv_lower_unit(L):
-    """Inverse of a unit-lower-triangular (bs, bs) block via forward subst."""
-    bs = L.shape[-1]
-    rows = jnp.arange(bs)
+    """Inverse of a unit-lower-triangular (..., n, n) block, forward subst.
+    Row-at-a-time; used only at the _TRI_BASE size (vmapped over blocks)."""
+    n = L.shape[-1]
+    rows = jnp.arange(n)
 
     def body(j, X):
-        # X[j, :] = e_j - L[j, :j] @ X[:j, :]
-        lrow = jnp.where(rows < j, L[j, :], 0.0)
-        xrow = -lrow @ X
-        xrow = xrow.at[j].add(1.0)
-        return X.at[j, :].set(xrow)
+        lrow = jnp.where(rows < j, L[..., j, :], 0.0)
+        xrow = -jnp.einsum("...k,...kn->...n", lrow, X)
+        xrow = xrow.at[..., j].add(1.0)
+        return X.at[..., j, :].set(xrow)
 
     X0 = jnp.zeros_like(L)
-    return lax.fori_loop(0, bs, body, X0)
+    return lax.fori_loop(0, n, body, X0)
 
 
 def _tri_inv_upper(U):
-    """Inverse of an upper-triangular (bs, bs) block via back substitution."""
-    bs = U.shape[-1]
-    rows = jnp.arange(bs)
+    """Inverse of an upper-triangular (..., n, n) block, back substitution."""
+    n = U.shape[-1]
+    rows = jnp.arange(n)
 
     def body(i, X):
-        j = bs - 1 - i
-        urow = jnp.where(rows > j, U[j, :], 0.0)
-        xrow = -urow @ X
-        xrow = xrow.at[j].add(1.0)
-        xrow = xrow / U[j, j]
-        return X.at[j, :].set(xrow)
+        j = n - 1 - i
+        urow = jnp.where(rows > j, U[..., j, :], 0.0)
+        xrow = -jnp.einsum("...k,...kn->...n", urow, X)
+        xrow = xrow.at[..., j].add(1.0)
+        xrow = xrow / U[..., j, j][..., None]
+        return X.at[..., j, :].set(xrow)
 
     X0 = jnp.zeros_like(U)
-    return lax.fori_loop(0, bs, body, X0)
+    return lax.fori_loop(0, n, body, X0)
+
+
+def _tri_inv_fast(T, lower: bool, unit: bool):
+    """Inverse of a triangular (..., n, n) matrix by block doubling.
+
+    Level 0: all n/_TRI_BASE diagonal base blocks inverted together (one
+    short fori loop, batched).  Each subsequent level merges pairs
+    (s -> 2s) with two batched matmuls:
+        lower: X21 = -X22 @ T21 @ X11
+        upper: X12 = -X11 @ T12 @ X22
+    Requires n to be a power-of-two multiple of _TRI_BASE (callers pad).
+    """
+    n = T.shape[-1]
+    if n <= _TRI_BASE:
+        return _tri_inv_lower_unit(T) if lower else _tri_inv_upper(T)
+    base = _TRI_BASE
+    k0 = n // base
+    D = _stack_diag(T, base)                      # (..., k0, base, base)
+    Xd = _tri_inv_lower_unit(D) if lower else _tri_inv_upper(D)
+    X = _scatter_diag(jnp.zeros_like(T), Xd, base)
+    s = base
+    while s < n:
+        # pair combine at size s -> 2s
+        Td = _stack_diag_pairs_off(T, s, lower)   # (..., k/2, s, s) off block
+        X11 = _stack_diag(X, s)[..., 0::2, :, :]
+        X22 = _stack_diag(X, s)[..., 1::2, :, :]
+        if lower:
+            Xoff = -_mm(X22, _mm(Td, X11))
+        else:
+            Xoff = -_mm(X11, _mm(Td, X22))
+        X = _scatter_pairs_off(X, Xoff, s, lower)
+        s *= 2
+    return X
+
+
+def _stack_diag(X, s):
+    n = X.shape[-1]
+    k = n // s
+    Xr = X.reshape(X.shape[:-2] + (k, s, k, s))
+    # diagonal over block axes: use einsum-style take via moveaxis+diagonal
+    Xd = jnp.diagonal(Xr, axis1=-4, axis2=-2)     # (..., s, s, k)
+    return jnp.moveaxis(Xd, -1, -3)               # (..., k, s, s)
+
+
+def _scatter_diag(X, Xd, s):
+    n = X.shape[-1]
+    k = n // s
+    Xr = X.reshape(X.shape[:-2] + (k, s, k, s))
+
+    def put(i, o):
+        return o.at[..., i, :, i, :].set(Xd[..., i, :, :])
+
+    Xr = lax.fori_loop(0, k, put, Xr)
+    return Xr.reshape(X.shape)
+
+
+def _stack_diag_pairs_off(X, s, lower: bool):
+    """Off-diagonal block of each (2s x 2s) diagonal pair: T21 (lower) or
+    T12 (upper) -> (..., k/2, s, s)."""
+    n = X.shape[-1]
+    k = n // s
+
+    Xr = X.reshape(X.shape[:-2] + (k, s, k, s))
+    if lower:
+        rows, cols = jnp.arange(1, k, 2), jnp.arange(0, k, 2)
+    else:
+        rows, cols = jnp.arange(0, k, 2), jnp.arange(1, k, 2)
+    # gather (row, col) block pairs
+    Xm = jnp.moveaxis(jnp.moveaxis(Xr, -4, 0), -2, 1)  # (k, k, ..., s, s)
+    out = Xm[rows, cols]                               # (k/2, ..., s, s)
+    return jnp.moveaxis(out, 0, -3)
+
+
+def _scatter_pairs_off(X, Xoff, s, lower: bool):
+    n = X.shape[-1]
+    k = n // s
+    Xr = X.reshape(X.shape[:-2] + (k, s, k, s))
+
+    def put(i, o):
+        r = 2 * i + 1 if lower else 2 * i
+        c = 2 * i if lower else 2 * i + 1
+        return o.at[..., r, :, c, :].set(Xoff[..., i, :, :])
+
+    Xr = lax.fori_loop(0, k // 2, put, Xr)
+    return Xr.reshape(X.shape)
 
 
 # ---------------------------------------------------------------------------
-# Panel factorization (partial pivoting) - VPU work
+# Panel factorization (partial pivoting) - VPU work, one fused loop
 # ---------------------------------------------------------------------------
 
-def _factor_panel(panel):
-    """LU-factor an (m, bs) panel in place with partial pivoting.
+def _factor_panel(panel, perm0):
+    """LU-factor an (m, bs) panel with partial pivoting in ONE fused loop.
 
-    Returns (panel, pivots) where pivots[j] is the row swapped with row j at
-    step j (indices into the panel's local row numbering).
+    Carries (panel, perm): each step does pivot search, 2-row swap of the
+    panel + permutation entries, multiplier scaling, rank-1 update.  Returns
+    (packed LU panel, composed local permutation).
     """
     m, bs = panel.shape
     rows = jnp.arange(m)
+    cols = jnp.arange(bs)
 
     def body(j, state):
-        panel, pivots = state
+        panel, perm = state
         col = lax.dynamic_index_in_dim(panel, j, axis=1, keepdims=False)
         mag = jnp.where(rows >= j, jnp.abs(col), -jnp.inf)
         p = jnp.argmax(mag)
-        # swap rows j <-> p
         row_j = panel[j, :]
         row_p = panel[p, :]
         panel = panel.at[j, :].set(row_p)
         panel = panel.at[p, :].set(row_j)
-        pivots = pivots.at[j].set(p.astype(jnp.int32))
-        # eliminate below the pivot
+        pj, pp = perm[j], perm[p]
+        perm = perm.at[j].set(pp)
+        perm = perm.at[p].set(pj)
         col = lax.dynamic_index_in_dim(panel, j, axis=1, keepdims=False)
         pivval = col[j]
-        # Avoid 0/0 for exactly-singular (e.g. padded) columns.
-        safe = jnp.where(pivval == 0, 1.0, pivval)
+        safe = jnp.where(pivval == 0, 1.0, pivval)   # padded/singular guard
         l = jnp.where(rows > j, col / safe, 0.0)
-        panel = panel.at[:, j].set(jnp.where(rows > j, l, panel[:, j]))
-        urow = jnp.where(jnp.arange(bs) > j, panel[j, :], 0.0)
+        urow = jnp.where(cols > j, panel[j, :], 0.0)
         panel = panel - jnp.outer(l, urow)
-        # restore column j (the outer product zeroed nothing there since
-        # urow[j] == 0, but keep explicit for clarity)
-        return panel, pivots
+        panel = panel.at[:, j].set(jnp.where(rows > j, l, col))
+        return panel, perm
 
-    pivots0 = jnp.zeros((bs,), dtype=jnp.int32)
-    panel, pivots = lax.fori_loop(0, bs, body, (panel, pivots0))
-    return panel, pivots
-
-
-def _apply_pivots(A, pivots):
-    """Apply a sequence of row transpositions (local indices) to A (m, n)."""
-
-    def body(j, A):
-        p = pivots[j]
-        row_j = A[j, :]
-        row_p = A[p, :]
-        A = A.at[j, :].set(row_p)
-        A = A.at[p, :].set(row_j)
-        return A
-
-    return lax.fori_loop(0, pivots.shape[0], body, A)
-
-
-def _apply_pivots_vec(v, pivots):
-    """Apply the same transpositions to a vector (permutation tracking)."""
-
-    def body(j, v):
-        p = pivots[j]
-        vj, vp = v[j], v[p]
-        v = v.at[j].set(vp)
-        v = v.at[p].set(vj)
-        return v
-
-    return lax.fori_loop(0, pivots.shape[0], body, v)
+    return lax.fori_loop(0, bs, body, (panel, perm0))
 
 
 # ---------------------------------------------------------------------------
-# Blocked LU with partial pivoting
-# ---------------------------------------------------------------------------
-
-def _pad_identity(A, n_pad):
-    """Pad A -> block-diag(A, I_pad); LU of the padding is trivial."""
-    if n_pad == 0:
-        return A
-    N = A.shape[-1]
-    out = jnp.zeros((N + n_pad, N + n_pad), dtype=A.dtype)
-    out = out.at[:N, :N].set(A)
-    idx = jnp.arange(N, N + n_pad)
-    return out.at[idx, idx].set(1.0)
-
-
-def _zlu_single(A, bs: int):
-    """Blocked LU with partial pivoting of one (N, N) matrix.
-
-    Returns (LU, perm) with L unit-lower / U upper packed in LU, and perm
-    such that A[perm] = L @ U.
-    """
-    N = A.shape[-1]
-    n_pad = (-N) % bs
-    Np = N + n_pad
-    A = _pad_identity(A, n_pad)
-    perm = jnp.arange(Np)
-
-    nb = Np // bs
-    for kb in range(nb):        # static unroll (<= N/bs panels)
-        k0 = kb * bs
-        panel = A[k0:, k0:k0 + bs]                     # (m, bs) static slice
-        panel, pivots = _factor_panel(panel)
-        A = A.at[k0:, k0:k0 + bs].set(panel)
-        # apply the panel's row swaps to the rest of the rows k0:
-        left = A[k0:, :k0]
-        right = A[k0:, k0 + bs:]
-        if k0 > 0:
-            A = A.at[k0:, :k0].set(_apply_pivots(left, pivots))
-        if k0 + bs < Np:
-            A = A.at[k0:, k0 + bs:].set(_apply_pivots(right, pivots))
-        perm = perm.at[k0:].set(_apply_pivots_vec(perm[k0:], pivots))
-        # triangular solve for U12 and trailing update (MXU work)
-        if k0 + bs < Np:
-            L11 = jnp.tril(A[k0:k0 + bs, k0:k0 + bs], -1) + jnp.eye(bs, dtype=A.dtype)
-            Linv = _tri_inv_lower_unit(L11)
-            U12 = _mm(Linv, A[k0:k0 + bs, k0 + bs:])
-            A = A.at[k0:k0 + bs, k0 + bs:].set(U12)
-            L21 = A[k0 + bs:, k0:k0 + bs]
-            A = A.at[k0 + bs:, k0 + bs:].add(-_mm(L21, U12))
-    return A, perm
-
-
-def _zlu_solve_single(LU, perm, B, bs: int):
-    """Solve A X = B given the packed blocked LU of (padded) A.
-
-    B is (N, nrhs); LU is (Np, Np) with Np >= N padded with identity.
-    """
-    N = B.shape[0]
-    Np = LU.shape[-1]
-    if Np > N:
-        B = jnp.concatenate(
-            [B, jnp.zeros((Np - N,) + B.shape[1:], dtype=B.dtype)], axis=0)
-    # row permutation
-    B = B[perm, :]
-    nb = Np // bs
-    # forward substitution with unit-lower L (blocked)
-    X = B
-    for ib in range(nb):
-        i0 = ib * bs
-        acc = X[i0:i0 + bs, :]
-        if i0 > 0:
-            acc = acc - _mm(LU[i0:i0 + bs, :i0], X[:i0, :])
-        L11 = jnp.tril(LU[i0:i0 + bs, i0:i0 + bs], -1) + jnp.eye(bs, dtype=LU.dtype)
-        X = X.at[i0:i0 + bs, :].set(_mm(_tri_inv_lower_unit(L11), acc))
-    # backward substitution with U (blocked)
-    for ib in range(nb - 1, -1, -1):
-        i0 = ib * bs
-        acc = X[i0:i0 + bs, :]
-        if i0 + bs < Np:
-            acc = acc - _mm(LU[i0:i0 + bs, i0 + bs:], X[i0 + bs:, :])
-        U11 = jnp.triu(LU[i0:i0 + bs, i0:i0 + bs])
-        X = X.at[i0:i0 + bs, :].set(_mm(_tri_inv_upper(U11), acc))
-    return X[:N, :]
-
-
-# ---------------------------------------------------------------------------
-# Public batched API
+# Blocked solve: right-looking LU fused with forward substitution
 # ---------------------------------------------------------------------------
 
 def _pick_block(N: int, bs: int | None) -> int:
-    if bs is not None:
-        return bs
-    from gaunegf_tpu.config import LU_BLOCK_SIZE
-    return int(min(N, LU_BLOCK_SIZE))
+    """Largest power-of-two multiple of _TRI_BASE <= min(requested, ~N)."""
+    if bs is None:
+        from gaunegf_tpu.config import LU_BLOCK_SIZE
+        bs = LU_BLOCK_SIZE
+    cap = min(bs, max(N, _TRI_BASE))
+    b = _TRI_BASE
+    while b * 2 <= cap:
+        b *= 2
+    return b
+
+
+def _pad_to(A, Np):
+    """Pad A -> block-diag(A, I); padding factors trivially."""
+    N = A.shape[-1]
+    if Np == N:
+        return A
+    out = jnp.zeros(A.shape[:-2] + (Np, Np), dtype=A.dtype)
+    out = out.at[..., :N, :N].set(A)
+    idx = jnp.arange(N, Np)
+    return out.at[..., idx, idx].set(1.0)
+
+
+def _zsolve_single(A, B, bs: int):
+    """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
+
+    Layout: M = [A | B] (N, N+k).  For each panel: fused pivoted panel
+    factorization; ONE gather applies the composed permutation to all other
+    columns; L11^-1 (block-doubling) turns the panel solve + forward
+    substitution into matmuls; trailing update on the MXU.  Backward pass
+    uses batched block-doubling inverses of the U diagonal blocks.
+    """
+    N = A.shape[-1]
+    k = B.shape[-1]
+    n_pad = (-N) % bs
+    Np = N + n_pad
+    A = _pad_to(A, Np)
+    nb = Np // bs
+
+    M = jnp.concatenate(
+        [A, jnp.concatenate([B, jnp.zeros((n_pad, k), B.dtype)], axis=0)],
+        axis=1)                                     # (Np, Np + k)
+
+    for kb in range(nb):
+        k0 = kb * bs
+        m = Np - k0
+        panel = M[k0:, k0:k0 + bs]
+        perm0 = jnp.arange(m, dtype=jnp.int32)
+        panel, perm = _factor_panel(panel, perm0)
+        # one gather applies the composed permutation to the other columns
+        left = M[k0:, :k0]
+        rest = M[k0:, k0 + bs:]
+        if k0 > 0:
+            M = M.at[k0:, :k0].set(left[perm, :])
+        M = M.at[k0:, k0 + bs:].set(rest[perm, :])
+        M = M.at[k0:, k0:k0 + bs].set(panel)
+        # panel triangular solve + forward substitution, all matmuls
+        L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
+        Linv = _tri_inv_fast(L11, lower=True, unit=True)
+        U12R = _mm(Linv, M[k0:k0 + bs, k0 + bs:])
+        M = M.at[k0:k0 + bs, k0 + bs:].set(U12R)
+        if k0 + bs < Np:
+            L21 = panel[bs:, :]
+            M = M.at[k0 + bs:, k0 + bs:].add(-_mm(L21, U12R))
+
+    # backward substitution: X = U^-1 Y with batched diagonal inverses
+    Udiag = jnp.triu(_stack_diag(M[:, :Np], bs))     # (nb, bs, bs)
+    Uinv = _tri_inv_fast(Udiag, lower=False, unit=False)
+    X = jnp.zeros((Np, k), dtype=B.dtype)
+    for ib in range(nb - 1, -1, -1):
+        i0 = ib * bs
+        acc = M[i0:i0 + bs, Np:]
+        if i0 + bs < Np:
+            acc = acc - _mm(M[i0:i0 + bs, i0 + bs:Np], X[i0 + bs:, :])
+        X = X.at[i0:i0 + bs, :].set(_mm(Uinv[ib], acc))
+    return X[:N, :]
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
-def zlu(A, bs: int | None = None):
-    """Batched blocked LU with partial pivoting.
-
-    A: (..., N, N) complex.  Returns (LU, perm) with padded shapes
-    (..., Np, Np) / (..., Np).
-    """
-    bs = _pick_block(A.shape[-1], bs)
-    fn = lambda a: _zlu_single(a, bs)
+def _zsolve_batched(A, B, bs: int):
+    fn = lambda a, b: _zsolve_single(a, b, bs)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
-    return fn(A)
-
-
-@functools.partial(jax.jit, static_argnames=("bs",))
-def zlu_solve(LU, perm, B, bs: int | None = None):
-    bs = _pick_block(LU.shape[-1], bs)
-    fn = lambda lu, p, b: _zlu_solve_single(lu, p, b, bs)
-    for _ in range(B.ndim - 2):
-        fn = jax.vmap(fn)
-    return fn(LU, perm, B)
-
-
-def _custom_solve(A, B, bs=None):
-    LU, perm = zlu(A, bs=bs)
-    return zlu_solve(LU, perm, B, bs=bs)
+    return fn(A, B)
 
 
 def zsolve(A, B, *, method: str | None = None, bs: int | None = None):
@@ -295,7 +327,8 @@ def zsolve(A, B, *, method: str | None = None, bs: int | None = None):
         method = "lapack" if supports_lapack_complex() else "blocked"
     if method == "lapack":
         return jnp.linalg.solve(A, B)
-    return _custom_solve(A, B, bs=bs)
+    bs = _pick_block(A.shape[-1], bs)
+    return _zsolve_batched(A, B, bs)
 
 
 def zinv(A, *, method: str | None = None, bs: int | None = None):
