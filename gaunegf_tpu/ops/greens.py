@@ -263,13 +263,25 @@ class EnergyEngine:
     def _params_split(self, params):
         return split_tree(params, self.cdtype)
 
+    def _log_dispatch(self, kind, n_energies):
+        from gaunegf_tpu.utils.logging import get_logger
+        n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        get_logger("engine").debug(
+            f"{kind}: N={self.H_s.re.shape[-1]} nE={n_energies} "
+            f"chunk={self.exec_cfg.energy_chunk} devices={n_dev} "
+            f"precision={self.exec_cfg.precision}")
+
     def gr_sum(self, E, w):
         """sum_k w_k G(E_k); parity with integrate.GrInt."""
+        from gaunegf_tpu.utils.logging import perf_span
         fn, params = self.provider.total_apply()
         eng = _build_sum_engine(_point_gr_weighted, fn, None,
                                 self.exec_cfg, self.mesh)
         E_s, w_s, _ = self._prep(E, w)
-        out = eng(self._params_split(params), self.H_s, self.S_s, E_s, w_s)
+        self._log_dispatch("gr_sum", np.size(E))
+        with perf_span("gr_sum", nE=np.size(E)):
+            out = eng(self._params_split(params), self.H_s, self.S_s,
+                      E_s, w_s)
         return merge_host(out).astype(np.complex128)
 
     def gless_sum(self, E, w, contact: Optional[int] = None):
