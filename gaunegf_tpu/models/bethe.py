@@ -376,6 +376,9 @@ def _detect_contact(geom: BetheGeometry, contact_atoms: Sequence[int]):
 class BetheSelfEnergy(_CompatMixin):
     """Bethe-lattice contact self-energy provider for a device F/S."""
 
+    # geometry-detection hook (overridden by Lattice3DSelfEnergy)
+    _detector = staticmethod(_detect_contact)
+
     def __init__(self, F, S, contacts: Sequence[Sequence[int]],
                  geometry: BetheGeometry, lat_file: str = "Au",
                  spin: str = "r", eta: float = ETA, T: float = TEMPERATURE,
@@ -403,7 +406,7 @@ class BetheSelfEnergy(_CompatMixin):
         self.lat_vecs = []
         self.g_list: List[BetheAtomGF] = []
         for contact in contacts:
-            inds_list, normal, lat, n_vecs, n_inds = _detect_contact(
+            inds_list, normal, lat, n_vecs, n_inds = type(self)._detector(
                 geometry, contact)
             self.inds_lists.append(inds_list)
             self.c_vecs.append(normal)

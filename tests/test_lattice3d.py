@@ -1,0 +1,85 @@
+"""3D-lattice contact model (surfG3D equivalent) + deprecated DOS search."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gaunegf_tpu.models import bethe as bt
+from gaunegf_tpu.models.lattice3d import Lattice3DSelfEnergy
+
+
+def _plane_geometry(d=2.88):
+    """Single hexagonal contact plane of 4 atoms + a device atom."""
+    u1 = np.array([1.0, 0.0, 0.0]) * d
+    u2 = np.array([0.5, np.sqrt(3) / 2, 0.0]) * d
+    top = [np.zeros(3), u1, u2, u1 + u2]
+    device = [np.array([1.0, 0.6, -5.0])]
+    coords = np.stack(top + device)
+    n_metal = len(top)
+    orb_atoms = []
+    for atom in range(1, len(coords) + 1):
+        orb_atoms += [atom] * (9 if atom <= n_metal else 4)
+    return bt.BetheGeometry(coords, np.asarray(orb_atoms), None)
+
+
+def _lat_file():
+    import gaunegf_tpu
+    return os.path.join(os.path.dirname(gaunegf_tpu.__file__), "data",
+                        "demo.bethe")
+
+
+def test_lattice3d_provider():
+    geom = _plane_geometry()
+    n_orb = 4 * 9 + 4
+    F = np.zeros((n_orb, n_orb))
+    S = np.eye(n_orb)
+    prov = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom,
+                               lat_file=_lat_file(), eta=1e-6, T=0.0,
+                               fermi=0.0, verbose=False)
+    sig = prov.sigmaTot(-2.0)
+    assert sig.shape == (n_orb, n_orb)
+    blk = sig[:36, :36]
+    assert np.max(np.abs(blk)) > 1e-3
+    gam = 1j * (blk - blk.conj().T)
+    assert np.linalg.eigvalsh(gam).min() > -1e-6
+
+
+def test_lattice3d_rejects_non_planar():
+    geom = _plane_geometry()
+    coords = geom.coords.copy()
+    coords[1, 2] += 2.5      # push one contact atom far out of the plane
+    geom2 = bt.BetheGeometry(coords, geom.orbital_atoms, None)
+    F = np.zeros((40, 40))
+    with pytest.raises(ValueError, match="Lattice mismatch"):
+        Lattice3DSelfEnergy(F, np.eye(40), [[1, 2, 3, 4]], geom2,
+                            lat_file=_lat_file(), fermi=0.0, verbose=False)
+
+
+def test_lattice3d_gamma_only_guard():
+    geom = _plane_geometry()
+    with pytest.raises(NotImplementedError):
+        Lattice3DSelfEnergy(np.zeros((40, 40)), np.eye(40), [[1, 2, 3, 4]],
+                            geom, lat_file=_lat_file(),
+                            gamma_point_only=False)
+
+
+def test_dos_fermi_search():
+    """Deprecated DOS-Taylor predictor: converges on an analytic model
+    where N(E) = integral of a known smooth DOS."""
+    from gaunegf_tpu.fermi_search_dos import DOSFermiSearch
+
+    dos = lambda E: 2.0 + 0.5 * E          # N(E) = 2E + 0.25 E^2 (from 0)
+    n_of = lambda E: 2.0 * E + 0.25 * E ** 2
+    target = n_of(1.2)
+    # note: the initial deltaEf equals the initial Ef (reference semantics,
+    # fermiSearch.py:72), so a zero initial guess would collapse the
+    # finite-difference step; start from a finite guess
+    search = DOSFermiSearch(0.3, target, deltaE=0.01)
+    Ef, n_curr = 0.3, n_of(0.3)
+    for _ in range(10):
+        Ef = search.step(dos, n_curr)
+        n_curr = n_of(Ef)
+        if abs(n_curr - target) < 1e-8:
+            break
+    assert abs(Ef - 1.2) < 1e-6
