@@ -93,6 +93,7 @@ class NEGF:
         self.p_b[-1] = -1
         self._P_stored = self.P.copy()
         self.backend.store_density(self.P)
+        self.updateN()
 
     # ------------------------------------------------------------------
     @property
