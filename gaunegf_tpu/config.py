@@ -99,6 +99,7 @@ class ExecutionConfig:
     refine_steps: int = 2
     energy_chunk: int = DEFAULT_ENERGY_CHUNK
     lu_block: int = LU_BLOCK_SIZE
+    lu_panel: str = "xla"       # 'xla' fused loop | 'pallas' VMEM kernel
 
 
 def replace(cfg, **kwargs):

@@ -35,8 +35,27 @@ __all__ = [
     "density_analytic", "bisect_fermi", "dos_at_energy",
     "density_real_n", "density_real", "density_complex_n", "density_complex",
     "density_grid_n", "density_grid", "density_grid_trap",
-    "calc_emin", "integral_fit", "integral_fit_negf",
+    "calc_emin", "integral_fit", "integral_fit_negf", "integrate_points",
 ]
+
+
+def integrate_points(compute_point_func, num_points, parallel=False,
+                     num_workers=None, chunk_size=None, debug=False):
+    """Sum compute_point_func(i) over i (integratePoints parity,
+    density.py:121-210).
+
+    The reference dispatches to a host multiprocessing.Pool for >=100
+    points on >=32-core SLURM nodes; on TPU the device mesh replaces
+    process-level parallelism entirely (SURVEY.md section 2.2), so this shim always
+    evaluates serially on the host and exists for API compatibility --
+    batched device execution should go through ops.greens engines instead.
+    """
+    if debug:
+        print(f"Number of points to integrate: {num_points}")
+    result = np.zeros_like(compute_point_func(0))
+    for i in range(int(num_points)):
+        result = result + compute_point_func(i)
+    return result
 
 _DEFAULT_EXEC = ExecutionConfig()
 

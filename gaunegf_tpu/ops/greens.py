@@ -55,8 +55,9 @@ def _gr_point(E, H, S, sigma, exec_cfg: ExecutionConfig):
     A = (E * S - H - sigma).astype(H.dtype)
     if exec_cfg.precision == "mixed" and A.dtype == jnp.complex64:
         return zl.zinv_refined(A, steps=exec_cfg.refine_steps,
-                               bs=exec_cfg.lu_block)
-    return zl.zinv(A, bs=exec_cfg.lu_block)
+                               bs=exec_cfg.lu_block,
+                               panel_impl=exec_cfg.lu_panel)
+    return zl.zinv(A, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel)
 
 
 def _kahan_add(carry, x):

@@ -254,7 +254,7 @@ def _pad_to(A, Np):
     return out.at[..., idx, idx].set(1.0)
 
 
-def _zsolve_single(A, B, bs: int):
+def _zsolve_single(A, B, bs: int, panel_impl: str = "xla"):
     """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
 
     Layout: M = [A | B] (N, N+k).  For each panel: fused pivoted panel
@@ -278,8 +278,12 @@ def _zsolve_single(A, B, bs: int):
         k0 = kb * bs
         m = Np - k0
         panel = M[k0:, k0:k0 + bs]
-        perm0 = jnp.arange(m, dtype=jnp.int32)
-        panel, perm = _factor_panel(panel, perm0)
+        if panel_impl == "pallas":
+            from gaunegf_tpu.ops.pallas.panel_lu import factor_panel_pallas
+            panel, perm = factor_panel_pallas(panel)
+        else:
+            perm0 = jnp.arange(m, dtype=jnp.int32)
+            panel, perm = _factor_panel(panel, perm0)
         # one gather applies the composed permutation to the other columns
         left = M[k0:, :k0]
         rest = M[k0:, k0 + bs:]
@@ -309,33 +313,36 @@ def _zsolve_single(A, B, bs: int):
     return X[:N, :]
 
 
-@functools.partial(jax.jit, static_argnames=("bs",))
-def _zsolve_batched(A, B, bs: int):
-    fn = lambda a, b: _zsolve_single(a, b, bs)
+@functools.partial(jax.jit, static_argnames=("bs", "panel_impl"))
+def _zsolve_batched(A, B, bs: int, panel_impl: str = "xla"):
+    fn = lambda a, b: _zsolve_single(a, b, bs, panel_impl)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
     return fn(A, B)
 
 
-def zsolve(A, B, *, method: str | None = None, bs: int | None = None):
+def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
+           panel_impl: str = "xla"):
     """Solve A X = B for batched complex A.
 
     method: None (auto), 'lapack' or 'blocked'.
     Auto picks LAPACK on CPU/GPU and the blocked MXU kernel on TPU.
+    panel_impl: 'xla' (fused fori loop) or 'pallas' (VMEM-resident kernel).
     """
     if method is None:
         method = "lapack" if supports_lapack_complex() else "blocked"
     if method == "lapack":
         return jnp.linalg.solve(A, B)
     bs = _pick_block(A.shape[-1], bs)
-    return _zsolve_batched(A, B, bs)
+    return _zsolve_batched(A, B, bs, panel_impl)
 
 
-def zinv(A, *, method: str | None = None, bs: int | None = None):
+def zinv(A, *, method: str | None = None, bs: int | None = None,
+         panel_impl: str = "xla"):
     """Batched complex inverse (reference utils.py:52-54 ``inv``)."""
     N = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), A.shape)
-    return zsolve(A, eye, method=method, bs=bs)
+    return zsolve(A, eye, method=method, bs=bs, panel_impl=panel_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -383,13 +390,13 @@ def matmul_hp(a, b):
 
 
 def zinv_refined(A, *, steps: int = 2, method: str | None = None,
-                 bs: int | None = None):
+                 bs: int | None = None, panel_impl: str = "xla"):
     """Inverse with Newton refinement: X <- X + X (I - A X).
 
     Residual I - A X is evaluated with double-float matmuls, so each step
     roughly squares the error until the residual precision (~1e-10) is hit.
     """
-    X = zinv(A, method=method, bs=bs)
+    X = zinv(A, method=method, bs=bs, panel_impl=panel_impl)
     N = A.shape[-1]
     eye = jnp.eye(N, dtype=A.dtype)
     for _ in range(steps):
