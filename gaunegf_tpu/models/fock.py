@@ -52,44 +52,79 @@ class FockProvider(Protocol):
 class TightBindingFock:
     """Mean-field tight-binding backend.
 
-    F[P] = H0 + U * diag(real(diag(P S)) - n0): an on-site Hubbard-like
-    mean field so the SCF loop has genuine self-consistency to find.  With
-    U = 0 the Fock matrix is density-independent (pure one-shot NEGF).
-    Energies and matrices are in eV (f_to_eV = 1).
+    Restricted ('r'): F[P] = H0 + U * diag(occ - n0) -- an on-site
+    Hubbard-like mean field so the SCF loop has genuine self-consistency.
+    Unrestricted ('u'/'ro'): the 2N block-diagonal layout of the reference
+    (matTools.getFock blocks), with the proper cross-spin Hubbard field
+    F_up = H0 + U diag(n_dn - n0) (and vice versa) plus an optional
+    exchange seed splitting to break spin symmetry.
+    With U = 0 the Fock matrix is density-independent (one-shot NEGF).
+    Energies in eV (f_to_eV = 1).
     """
 
     f_to_eV = 1.0
 
     def __init__(self, H0, S=None, n_electrons=None, U=0.0, n0=None,
-                 coords=None, locs=None, spin="r"):
+                 coords=None, locs=None, spin="r", exchange=0.0,
+                 multiplicity=1):
         self.H0 = np.asarray(H0, dtype=float)
         n = self.H0.shape[0]
-        self.S = np.eye(n) if S is None else np.asarray(S, dtype=float)
+        self.n_orb = n
+        self.S1 = np.eye(n) if S is None else np.asarray(S, dtype=float)
         self.U = float(U)
+        self.exchange = float(exchange)
         self.n0 = np.zeros(n) if n0 is None else np.asarray(n0, dtype=float)
         self.n_electrons = float(n // 2 if n_electrons is None else n_electrons)
         self.spin = spin
+        self.multiplicity = multiplicity
         self._coords = None if coords is None else np.asarray(coords)
-        self.locs = (np.arange(n) + 1 if locs is None
-                     else np.asarray(locs))
+        base_locs = np.arange(n) + 1 if locs is None else np.asarray(locs)
+        if spin in ("u", "ro"):
+            self.locs = np.concatenate([base_locs, -base_locs])
+        else:
+            self.locs = base_locs
         self.field = np.zeros(3)
+
+    @property
+    def S(self):
+        if self.spin in ("u", "ro"):
+            Z = np.zeros_like(self.S1)
+            return np.block([[self.S1, Z], [Z, self.S1]])
+        return self.S1
 
     def overlap(self):
         return self.S
 
     def initial_fock(self):
+        if self.spin in ("u", "ro"):
+            Z = np.zeros_like(self.H0)
+            dx = self.exchange / 2 * np.eye(self.n_orb)
+            return np.block([[self.H0 - dx, Z], [Z, self.H0 + dx]])
         return self.H0.copy()
 
     def initial_density(self):
         """Aufbau fill of the lowest generalized eigenvectors."""
         import scipy.linalg
-        w, v = scipy.linalg.eigh(self.H0, self.S)
+        F0 = self.initial_fock()
+        w, v = scipy.linalg.eigh(np.real(F0), self.S)
         occ = int(round(self.n_electrons / (2 if self.spin == "r" else 1)))
         vo = v[:, :occ]
         return vo @ vo.conj().T
 
     def fock(self, P):
-        occ = np.real(np.diag(np.asarray(P) @ self.S))
+        n = self.n_orb
+        if self.spin in ("u", "ro"):
+            P = np.asarray(P)
+            occ_up = np.real(np.diag(P[:n, :n] @ self.S1))
+            occ_dn = np.real(np.diag(P[n:, n:] @ self.S1))
+            dx = self.exchange / 2 * np.eye(n)
+            Fu = self.H0 - dx + self.U * np.diag(occ_dn - self.n0)
+            Fd = self.H0 + dx + self.U * np.diag(occ_up - self.n0)
+            Z = np.zeros_like(Fu)
+            F = np.block([[Fu, Z], [Z, Fd]])
+            E = float(np.real(np.trace(P @ (self.initial_fock() + F))) / 2)
+            return F, E
+        occ = np.real(np.diag(np.asarray(P) @ self.S1))
         F = self.H0 + self.U * np.diag(occ - self.n0)
         # mean-field total energy: Tr[P (H0 + F)] / 2 (double-count corrected)
         E = float(np.real(np.trace(np.asarray(P) @ (self.H0 + F))) / 2)
