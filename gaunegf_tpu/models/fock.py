@@ -71,7 +71,8 @@ class TightBindingFock:
         n = self.H0.shape[0]
         self.n_orb = n
         self.S1 = np.eye(n) if S is None else np.asarray(S, dtype=float)
-        self.U = float(U)
+        # scalar or per-orbital Hubbard U
+        self.U = np.asarray(U, dtype=float)
         self.exchange = float(exchange)
         self.n0 = np.zeros(n) if n0 is None else np.asarray(n0, dtype=float)
         self.n_electrons = float(n // 2 if n_electrons is None else n_electrons)
@@ -118,14 +119,14 @@ class TightBindingFock:
             occ_up = np.real(np.diag(P[:n, :n] @ self.S1))
             occ_dn = np.real(np.diag(P[n:, n:] @ self.S1))
             dx = self.exchange / 2 * np.eye(n)
-            Fu = self.H0 - dx + self.U * np.diag(occ_dn - self.n0)
-            Fd = self.H0 + dx + self.U * np.diag(occ_up - self.n0)
+            Fu = self.H0 - dx + np.diag(self.U * (occ_dn - self.n0))
+            Fd = self.H0 + dx + np.diag(self.U * (occ_up - self.n0))
             Z = np.zeros_like(Fu)
             F = np.block([[Fu, Z], [Z, Fd]])
             E = float(np.real(np.trace(P @ (self.initial_fock() + F))) / 2)
             return F, E
         occ = np.real(np.diag(np.asarray(P) @ self.S1))
-        F = self.H0 + self.U * np.diag(occ - self.n0)
+        F = self.H0 + np.diag(self.U * (occ - self.n0))
         # mean-field total energy: Tr[P (H0 + F)] / 2 (double-count corrected)
         E = float(np.real(np.trace(np.asarray(P) @ (self.H0 + F))) / 2)
         spin_factor = 2.0 if self.spin == "r" else 1.0

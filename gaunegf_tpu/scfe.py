@@ -60,11 +60,13 @@ class NEGFE(NEGF):
         return inds
 
     def setContactBethe(self, contact_list, lat_file="Au", eta=ETA,
-                        T=TEMPERATURE, geometry=None):
+                        T=TEMPERATURE, geometry=None, fermi=None):
         """Bethe-lattice contacts (setContactBethe, scfE.py:63-93).
 
         geometry: optional BetheGeometry spec; defaults to extracting atom
         coordinates and the orbital map from the backend.
+        fermi: optional known lattice Fermi level; skips the contact
+        Fermi-level determination (integral_fit + bisection).
         """
         from gaunegf_tpu.models.bethe import BetheSelfEnergy
 
@@ -72,7 +74,8 @@ class NEGFE(NEGF):
         self.l_ind, self.r_ind = inds
         self.g = BetheSelfEnergy.from_backend(
             self.F_eV, self.S, contact_list, self.backend, lat_file,
-            self.spin, eta, T, geometry=geometry)
+            self.spin, eta, T, geometry=geometry, fermi=fermi,
+            exec_cfg=self.exec_cfg, mesh=self.mesh, verbose=self.verbose)
         self.setIntegralLimits()
         self.T = T
         return inds
