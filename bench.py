@@ -25,8 +25,8 @@ import numpy as np
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
 N = 1000
-N_E = 64
-CHUNK = 32
+N_E = 128
+CHUNK = 64
 WARMUP_E = CHUNK
 
 

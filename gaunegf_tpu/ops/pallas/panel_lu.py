@@ -37,36 +37,55 @@ __all__ = ["factor_panel_pallas", "HAVE_PALLAS"]
 
 
 def _panel_kernel(pre_ref, pim_ref, out_re_ref, out_im_ref, perm_ref):
+    """Fully-masked formulation: no dynamic slicing (unsupported by the
+    Mosaic lowering) -- row/column extraction, swaps and writes are all
+    iota-mask selects and reductions on the VMEM-resident panel."""
     m, bs = pre_ref.shape
     rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     cols = lax.broadcasted_iota(jnp.int32, (1, bs), 1)
 
     out_re_ref[:, :] = pre_ref[:, :]
     out_im_ref[:, :] = pim_ref[:, :]
-    perm_ref[:, :] = rows
+    perm_ref[:, :] = rows.astype(jnp.float32) if perm_ref.dtype == jnp.float32 \
+        else rows
 
     def body(j, _):
-        cr = out_re_ref[:, :][:, j][:, None]
-        ci = out_im_ref[:, :][:, j][:, None]
+        re = out_re_ref[:, :]
+        im = out_im_ref[:, :]
+        pm = perm_ref[:, :]
+
+        is_col_j = cols == j                        # (1, bs)
+        cr = jnp.sum(jnp.where(is_col_j, re, 0.0), axis=1, keepdims=True)
+        ci = jnp.sum(jnp.where(is_col_j, im, 0.0), axis=1, keepdims=True)
         mag = cr * cr + ci * ci
         mag = jnp.where(rows >= j, mag, -1.0)
         p = jnp.argmax(mag[:, 0])
 
-        # swap rows j <-> p in the panel halves and the permutation
-        re = out_re_ref[:, :]
-        im = out_im_ref[:, :]
-        pm = perm_ref[:, :]
-        row_j_re, row_p_re = re[j, :], re[p, :]
-        row_j_im, row_p_im = im[j, :], im[p, :]
-        pj, pp = pm[j, 0], pm[p, 0]
-        re = re.at[j, :].set(row_p_re).at[p, :].set(row_j_re)
-        im = im.at[j, :].set(row_p_im).at[p, :].set(row_j_im)
-        pm = pm.at[j, 0].set(pp).at[p, 0].set(pj)
+        is_row_j = rows == j                        # (m, 1)
+        is_row_p = rows == p
+        # masked row extraction (1, bs) via reductions
+        row_j_re = jnp.sum(jnp.where(is_row_j, re, 0.0), axis=0,
+                           keepdims=True)
+        row_j_im = jnp.sum(jnp.where(is_row_j, im, 0.0), axis=0,
+                           keepdims=True)
+        row_p_re = jnp.sum(jnp.where(is_row_p, re, 0.0), axis=0,
+                           keepdims=True)
+        row_p_im = jnp.sum(jnp.where(is_row_p, im, 0.0), axis=0,
+                           keepdims=True)
+        # swap rows j <-> p
+        re = jnp.where(is_row_j, row_p_re,
+                       jnp.where(is_row_p, row_j_re, re))
+        im = jnp.where(is_row_j, row_p_im,
+                       jnp.where(is_row_p, row_j_im, im))
+        pj = jnp.sum(jnp.where(is_row_j[:, 0], pm[:, 0], 0))
+        pp = jnp.sum(jnp.where(is_row_p[:, 0], pm[:, 0], 0))
+        pm = jnp.where(is_row_j, pp, jnp.where(is_row_p, pj, pm))
 
-        cr = re[:, j][:, None]
-        ci = im[:, j][:, None]
-        pr = cr[j, 0]
-        pi = ci[j, 0]
+        # pivot column after swap
+        cr = jnp.sum(jnp.where(is_col_j, re, 0.0), axis=1, keepdims=True)
+        ci = jnp.sum(jnp.where(is_col_j, im, 0.0), axis=1, keepdims=True)
+        pr = jnp.sum(jnp.where(is_row_j, cr, 0.0))
+        pi = jnp.sum(jnp.where(is_row_j, ci, 0.0))
         den = pr * pr + pi * pi
         den = jnp.where(den == 0, 1.0, den)
         inv_r = pr / den
@@ -76,12 +95,17 @@ def _panel_kernel(pre_ref, pim_ref, out_re_ref, out_im_ref, perm_ref):
         li = jnp.where(below, cr * inv_i + ci * inv_r, 0.0)
 
         right = cols > j
-        ur = jnp.where(right, re[j, :][None, :], 0.0)
-        ui = jnp.where(right, im[j, :][None, :], 0.0)
+        urow_re = jnp.sum(jnp.where(is_row_j, re, 0.0), axis=0,
+                          keepdims=True)
+        urow_im = jnp.sum(jnp.where(is_row_j, im, 0.0), axis=0,
+                          keepdims=True)
+        ur = jnp.where(right, urow_re, 0.0)
+        ui = jnp.where(right, urow_im, 0.0)
         re = re - (lr * ur - li * ui)
         im = im - (lr * ui + li * ur)
-        re = re.at[:, j].set(jnp.where(below, lr, cr)[:, 0])
-        im = im.at[:, j].set(jnp.where(below, li, ci)[:, 0])
+        # store multipliers in column j (rows > j)
+        re = jnp.where(is_col_j & below, lr, re)
+        im = jnp.where(is_col_j & below, li, im)
 
         out_re_ref[:, :] = re
         out_im_ref[:, :] = im

@@ -113,14 +113,16 @@ class SigmaSource:
 
     # reference-compatible helpers ------------------------------------
     def get_sigma_total(self, E, spin=None, matrix_size=None):
+        from gaunegf_tpu.ops.complexio import call_complex_safe
         prov = self.provider_for(spin or "r", matrix_size or 0)
         fn, params = prov.total_apply()
-        return np.asarray(fn(params, jnp.asarray(E)))
+        return call_complex_safe(fn, params, complex(E))
 
     def get_sigma(self, E, contact_index, spin=None, matrix_size=None):
+        from gaunegf_tpu.ops.complexio import call_complex_safe
         prov = self.provider_for(spin or "r", matrix_size or 0)
         fn, params = prov.contact_apply(contact_index)
-        return np.asarray(fn(params, jnp.asarray(E)))
+        return call_complex_safe(fn, params, complex(E))
 
     def get_gamma(self, E, contact_index, spin=None, matrix_size=None):
         s = self.get_sigma(E, contact_index, spin, matrix_size)
@@ -209,7 +211,7 @@ def _save(checkpoint_file, energy_list, arrays):
         np.savez(checkpoint_file, energy_list=energy_list, **arrays)
 
 
-def _batched_sweep(point_values_fn, remaining, batch):
+def _batched_sweep(remaining, batch):
     """Yield index batches of remaining energies."""
     for i in range(0, len(remaining), batch):
         yield remaining[i:i + batch]
@@ -276,7 +278,7 @@ def calculate_transmission(F, S, sigma_source, energy_list, spin=None,
         eng = EnergyEngine(Fx, Sx, prov, exec_cfg, mesh)
         batch = max(checkpoint_interval, exec_cfg.energy_chunk) \
             if checkpoint_file else len(remaining)
-        for idx in _batched_sweep(None, remaining, batch):
+        for idx in _batched_sweep(remaining, batch):
             E = energy_list[idx]
             if is_spin:
                 tot_fn, _ = prov.total_apply()
@@ -324,7 +326,7 @@ def calculate_dos(F, S, sigma_source, energy_list, spin=None,
             if checkpoint_file else len(remaining)
         if spin == "g":
             inv_perm = np.argsort(spinmod.spinor_block_perm(n_sites // 2))
-        for idx in _batched_sweep(None, remaining, batch):
+        for idx in _batched_sweep(remaining, batch):
             E = energy_list[idx]
             diag = eng.gr_diag(E)           # block layout for spin cases
             per_site = -np.imag(diag) / np.pi
