@@ -58,6 +58,9 @@ class TightBindingFock:
     (matTools.getFock blocks), with the proper cross-spin Hubbard field
     F_up = H0 + U diag(n_dn - n0) (and vice versa) plus an optional
     exchange seed splitting to break spin symmetry.
+    Generalized ('g'): spinor-interleaved 2N layout ([a0, b0, a1, b1, ...],
+    matTools.py:163 convention) with an optional transverse exchange field
+    (spin-x seed) so non-collinear densities develop.
     With U = 0 the Fock matrix is density-independent (one-shot NEGF).
     Energies in eV (f_to_eV = 1).
     """
@@ -82,6 +85,9 @@ class TightBindingFock:
         base_locs = np.arange(n) + 1 if locs is None else np.asarray(locs)
         if spin in ("u", "ro"):
             self.locs = np.concatenate([base_locs, -base_locs])
+        elif spin == "g":
+            self.locs = np.array(
+                [v for pair in zip(base_locs, -base_locs) for v in pair])
         else:
             self.locs = base_locs
         self.field = np.zeros(3)
@@ -91,6 +97,8 @@ class TightBindingFock:
         if self.spin in ("u", "ro"):
             Z = np.zeros_like(self.S1)
             return np.block([[self.S1, Z], [Z, self.S1]])
+        if self.spin == "g":
+            return np.kron(self.S1, np.eye(2))
         return self.S1
 
     def overlap(self):
@@ -101,6 +109,12 @@ class TightBindingFock:
             Z = np.zeros_like(self.H0)
             dx = self.exchange / 2 * np.eye(self.n_orb)
             return np.block([[self.H0 - dx, Z], [Z, self.H0 + dx]])
+        if self.spin == "g":
+            # spinor layout: per-orbital 2x2 blocks; transverse exchange
+            # seed -B_x * sigma_x mixes the spin channels (non-collinear)
+            sx = np.array([[0.0, 1.0], [1.0, 0.0]])
+            return (np.kron(self.H0, np.eye(2))
+                    - self.exchange / 2 * np.kron(np.eye(self.n_orb), sx))
         return self.H0.copy()
 
     def initial_density(self):
@@ -114,6 +128,14 @@ class TightBindingFock:
 
     def fock(self, P):
         n = self.n_orb
+        if self.spin == "g":
+            P = np.asarray(P)
+            occ = np.real(np.diag(P @ self.S))     # per spin-orbital
+            occ_orb = occ[0::2] + occ[1::2]        # per orbital (both spins)
+            F = self.initial_fock().astype(complex) + np.kron(
+                np.diag(self.U * (occ_orb - 2 * self.n0)), np.eye(2))
+            E = float(np.real(np.trace(P @ (self.initial_fock() + F))) / 2)
+            return F, E
         if self.spin in ("u", "ro"):
             P = np.asarray(P)
             occ_up = np.real(np.diag(P[:n, :n] @ self.S1))
