@@ -25,7 +25,7 @@ import numpy as np
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
 N = 1000
-N_E = 64
+N_E = 128
 CHUNK = 64
 WARMUP_E = N_E      # same shape as the timed run -> exactly one compile
 
