@@ -100,6 +100,10 @@ class ExecutionConfig:
     energy_chunk: int = DEFAULT_ENERGY_CHUNK
     lu_block: int = LU_BLOCK_SIZE
     lu_panel: str = "xla"       # 'xla' fused loop | 'pallas' VMEM kernel
+    # low-rank contact fast path: transmission/G< solve only the contact
+    # columns of G (LU cost unchanged, triangular solves shrink N->nc).
+    # Neglects the -1j*1e-9*S broadening background's Gamma (~1e-9 rel).
+    use_lowrank: bool = True
 
 
 def replace(cfg, **kwargs):

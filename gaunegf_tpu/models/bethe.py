@@ -491,6 +491,16 @@ class BetheSelfEnergy(_CompatMixin):
                                _HashableArray(self.Xi), i)
         return fn, self.params()
 
+    def contact_inds(self, i=None):
+        """Static contact support; None when the de-orthogonalization
+        (Xi sig Xi) or a spin expansion densifies the embedding."""
+        if self.orthogonal or self.spin != "r":
+            return None
+        lists = (self.inds_lists if i is None
+                 else [self.inds_lists[i % len(self.g_list)]])
+        return tuple(sorted({int(j) for il in lists
+                             for inds in il for j in inds}))
+
 
 class _HashableArray:
     """Hash wrapper so host-side constants can key lru_cached closures."""

@@ -276,6 +276,13 @@ class Chain1DSelfEnergy(_CompatMixin):
         i = i % len(self.inds_list)
         return _chain_contact_fn(self._static_key(), i), self.params()
 
+    def contact_inds(self, i=None):
+        """Static contact support for the low-rank fast path."""
+        if i is None:
+            return tuple(sorted({int(j) for inds in self.inds_list
+                                 for j in inds}))
+        return tuple(int(j) for j in self.inds_list[i % len(self.inds_list)])
+
 
     def set_fock(self, F, mu1=None, mu2=None):
         """Update F; replicate surfG1D.setF semantics (surfG1D.py:297-342).

@@ -139,6 +139,13 @@ class ConstantSelfEnergy(_CompatMixin):
         i = i % self.num_contacts()
         return _const_contact(i), self.params()
 
+    def contact_inds(self, i=None):
+        """Static contact support for the low-rank fast path."""
+        if i is None:
+            return tuple(sorted({int(j) for inds in self.inds_list[:2]
+                                 for j in inds}))
+        return tuple(int(j) for j in self.inds_list[i % len(self.inds_list)])
+
     def set_fock(self, F, mu1=None, mu2=None):
         self.F = np.asarray(F)
 

@@ -97,6 +97,55 @@ def _point_transmission(E, H, S, params, sig_tot_fn, g1_fn, g2_fn, exec_cfg):
     return jnp.real(jnp.trace(gamma1 @ Gr @ gamma2 @ Ga))
 
 
+def _gr_cols(E, H, S, sigma, cols, exec_cfg):
+    """Selected columns of G(E): solve with nc unit-column RHS instead of
+    the full inverse -- the low-rank contact fast path (the LU cost stays,
+    the N x N triangular solves shrink to N x nc)."""
+    A = (E * S - H - sigma).astype(H.dtype)
+    B = jnp.zeros((H.shape[0], len(cols)), dtype=H.dtype)
+    B = B.at[np.asarray(cols), jnp.arange(len(cols))].set(1.0)
+    X = zl.zsolve(A, B, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel,
+                  method=None if zl.supports_lapack_complex() else "blocked")
+    if exec_cfg.precision == "mixed" and A.dtype == jnp.complex64:
+        # one refinement step on the selected columns
+        R = B - zl.matmul_hp(A, X)
+        X = X + zl.zsolve(A, R, bs=exec_cfg.lu_block,
+                          panel_impl=exec_cfg.lu_panel,
+                          method=None if zl.supports_lapack_complex()
+                          else "blocked")
+    return X
+
+
+def _point_transmission_lowrank(E, H, S, params, sig_tot_fn, g1_fn, g2_fn,
+                                c1, c2, exec_cfg):
+    """T(E) from contact-column solves: T = tr(G1 Gr[c1,c2] G2 Gr[c1,c2]+)
+    with the Gamma blocks restricted to their contact support.  Neglects
+    the -1j*1e-9*S broadening background's contribution to Gamma
+    (~1e-9 relative)."""
+    sig_tot = sig_tot_fn(params, E)
+    X = _gr_cols(E, H, S, sig_tot, c2, exec_cfg)      # (N, nc2)
+    G12 = X[np.asarray(c1), :]                         # (nc1, nc2)
+    s1 = g1_fn(params, E)
+    s2 = g2_fn(params, E)
+    ix1 = np.ix_(np.asarray(c1), np.asarray(c1))
+    ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
+    gamma1 = 1j * (s1[ix1] - jnp.conj(s1[ix1]).T)
+    gamma2 = 1j * (s2[ix2] - jnp.conj(s2[ix2]).T)
+    return jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
+
+
+def _point_gless_weighted_lowrank(E, w, H, S, params, sig_tot_fn, sig_c_fn,
+                                  c, exec_cfg):
+    """w * G Gamma_c G+ from contact-column solves: Y = G[:, c],
+    result = w * Y Gamma_cc Y+."""
+    sig_tot = sig_tot_fn(params, E)
+    Y = _gr_cols(E, H, S, sig_tot, c, exec_cfg)        # (N, nc)
+    sig_c = sig_c_fn(params, E) if sig_c_fn is not None else sig_tot
+    ix = np.ix_(np.asarray(c), np.asarray(c))
+    gamma = (1j * (sig_c[ix] - jnp.conj(sig_c[ix]).T)).astype(H.dtype)
+    return (w * (Y @ gamma @ jnp.conj(Y).T)).astype(H.dtype)
+
+
 def _point_gr_diag(E, H, S, params, sig_tot_fn, exec_cfg):
     sigma = sig_tot_fn(params, E)
     return jnp.diagonal(_gr_point(E, H, S, sigma, exec_cfg))
@@ -108,7 +157,7 @@ def _point_gr_diag(E, H, S, params, sig_tot_fn, exec_cfg):
 
 @lru_cache(maxsize=None)
 def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
-                      mesh: Optional[Mesh]):
+                      mesh: Optional[Mesh], extra=()):
     """Jitted engine: split(params, H, S, E(nd,nc,ch), w) -> split((N, N))."""
 
     def device_body(params, H, S, E, w, varying=False):
@@ -116,7 +165,7 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
             Eb, wb = inputs
             vals = jax.vmap(
                 lambda e, ww: point_fn(e, ww, H, S, params, sig_tot_fn,
-                                       sig_c_fn, exec_cfg))(Eb, wb)
+                                       sig_c_fn, *extra, exec_cfg))(Eb, wb)
             return _kahan_add(carry, jnp.sum(vals, axis=0)), None
 
         N = H.shape[-1]
@@ -285,6 +334,22 @@ class EnergyEngine:
                       E_s, w_s)
         return merge_host(out).astype(np.complex128)
 
+    def _contact_inds(self, contact):
+        """Static contact support for the low-rank path, or None."""
+        if not self.exec_cfg.use_lowrank:
+            return None
+        getter = getattr(self.provider, "contact_inds", None)
+        if getter is None:
+            return None
+        inds = getter(contact)
+        if inds is None:
+            return None
+        inds = tuple(int(i) for i in inds)
+        N = self.H_s.re.shape[-1]
+        if len(inds) > N // 2:
+            return None
+        return inds
+
     def gless_sum(self, E, w, contact: Optional[int] = None):
         """sum_k w_k [G Gamma_i G^+](E_k); parity with integrate.GrLessInt."""
         fn, params = self.provider.total_apply()
@@ -292,8 +357,13 @@ class EnergyEngine:
         if contact is not None:
             cfn, params = self.provider.contact_apply(contact)
             fn, _ = self.provider.total_apply()
-        eng = _build_sum_engine(_point_gless_weighted, fn, cfn,
-                                self.exec_cfg, self.mesh)
+        c = self._contact_inds(contact)
+        if c is not None:
+            eng = _build_sum_engine(_point_gless_weighted_lowrank, fn, cfn,
+                                    self.exec_cfg, self.mesh, extra=(c,))
+        else:
+            eng = _build_sum_engine(_point_gless_weighted, fn, cfn,
+                                    self.exec_cfg, self.mesh)
         E_s, w_s, _ = self._prep(E, w)
         out = eng(self._params_split(params), self.H_s, self.S_s, E_s, w_s)
         return merge_host(out).astype(np.complex128)
@@ -303,8 +373,15 @@ class EnergyEngine:
         fn, params = self.provider.total_apply()
         g1, _ = self.provider.contact_apply(0)
         g2, _ = self.provider.contact_apply(-1)
-        eng = _build_map_engine(_point_transmission, (fn, g1, g2),
-                                self.exec_cfg, self.mesh)
+        c1 = self._contact_inds(0)
+        c2 = self._contact_inds(-1)
+        if c1 is not None and c2 is not None:
+            eng = _build_map_engine(_point_transmission_lowrank,
+                                    (fn, g1, g2, c1, c2),
+                                    self.exec_cfg, self.mesh)
+        else:
+            eng = _build_map_engine(_point_transmission, (fn, g1, g2),
+                                    self.exec_cfg, self.mesh)
         E_s, _, n = self._prep(E, None)
         out = merge_host(eng(self._params_split(params), self.H_s,
                              self.S_s, E_s))

@@ -55,6 +55,20 @@ class _StaticSigma:
     def contact_apply(self, i):
         return _static_contact(i % 2), self.params()
 
+    def contact_inds(self, i=None):
+        """Support of Gamma_i above a relative threshold (the formSigma
+        -1j*1e-9*S background is below it); None when effectively dense."""
+        sigs = self._sigs if i is None else self._sigs[i % 2:i % 2 + 1]
+        gam = np.abs(1j * (sigs - np.conj(np.swapaxes(sigs, -1, -2))))
+        rowmax = gam.max(axis=(0, 2))
+        peak = rowmax.max()
+        if peak == 0:
+            return None
+        support = np.where(rowmax > 1e-6 * peak)[0]
+        if len(support) > len(rowmax) // 2:
+            return None
+        return tuple(int(j) for j in support)
+
     def num_contacts(self):
         return 2
 
@@ -146,6 +160,25 @@ class _ExpandedProvider:
     def contact_apply(self, i):
         fn, params = self.base.contact_apply(i)
         return spinmod.wrap_expand_fn(fn, self.spin), params
+
+    def contact_inds(self, i=None):
+        getter = getattr(self.base, "contact_inds", None)
+        if getter is None:
+            return None
+        inds = getter(i)
+        if inds is None:
+            return None
+        inds = np.asarray(inds, dtype=int)
+        nF = np.asarray(getattr(self.base, "F", None)).shape[0] \
+            if hasattr(self.base, "F") else None
+        if nF is None:
+            ps = self.base.params()
+            nF = np.asarray(jax.tree_util.tree_leaves(ps)[0]).shape[-1]
+        if self.spin in ("u", "ro"):
+            out = np.concatenate([inds, inds + nF])
+        else:                        # 'g': spinor interleave
+            out = np.concatenate([2 * inds, 2 * inds + 1])
+        return tuple(int(j) for j in np.sort(out))
 
     def num_contacts(self):
         return self.base.num_contacts()
@@ -248,6 +281,17 @@ class _PermutedProvider:
     def contact_apply(self, i):
         fn, params = self.base.contact_apply(i)
         return spinmod.wrap_permute_fn(fn, self.n_orb), params
+
+    def contact_inds(self, i=None):
+        getter = getattr(self.base, "contact_inds", None)
+        if getter is None:
+            return None
+        inds = getter(i)
+        if inds is None:
+            return None
+        inv = np.argsort(spinmod.spinor_block_perm(self.n_orb))
+        return tuple(int(j) for j in np.sort(inv[np.asarray(inds,
+                                                            dtype=int)]))
 
     def num_contacts(self):
         return self.base.num_contacts()

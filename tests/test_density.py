@@ -47,8 +47,15 @@ def test_density_real_n():
 
 def test_density_grid_n():
     H, S, g = _system()
+    # default config uses the low-rank contact path, which drops the
+    # -1j*1e-9*S broadening background from Gamma (~1e-7 contribution)
     P = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0)
-    assert np.max(np.abs(P - GOLD["dens_gridN"])) < 1e-9
+    assert np.max(np.abs(P - GOLD["dens_gridN"])) < 5e-7
+
+    from gaunegf_tpu.config import ExecutionConfig
+    P_dense = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0,
+                                  exec_cfg=ExecutionConfig(use_lowrank=False))
+    assert np.max(np.abs(P_dense - GOLD["dens_gridN"])) < 1e-9
 
 
 def test_density_sharded_equals_serial():
