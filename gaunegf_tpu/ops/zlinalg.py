@@ -192,19 +192,24 @@ def _scatter_pairs_off(X, Xoff, s, lower: bool):
 # Panel factorization (partial pivoting) - VPU work, one fused loop
 # ---------------------------------------------------------------------------
 
-def _factor_panel(panel, perm0):
+PANEL_UNROLL = 8    # column eliminations fused per loop iteration
+
+
+def _factor_panel(panel, perm0, unroll: int = PANEL_UNROLL):
     """LU-factor an (m, bs) panel with partial pivoting in ONE fused loop.
 
-    Carries (panel, perm): each step does pivot search, 2-row swap of the
-    panel + permutation entries, multiplier scaling, rank-1 update.  Returns
-    (packed LU panel, composed local permutation).
+    Carries (panel, perm).  Each loop iteration eliminates `unroll`
+    consecutive columns while the panel stays live in registers/VMEM, so
+    the HBM traffic of the sequential phase drops by the unroll factor --
+    the panel loop is bandwidth-bound, not flop-bound, on TPU.
     """
     m, bs = panel.shape
     rows = jnp.arange(m)
     cols = jnp.arange(bs)
+    while bs % unroll:
+        unroll //= 2
 
-    def body(j, state):
-        panel, perm = state
+    def eliminate(j, panel, perm):
         col = lax.dynamic_index_in_dim(panel, j, axis=1, keepdims=False)
         mag = jnp.where(rows >= j, jnp.abs(col), -jnp.inf)
         p = jnp.argmax(mag)
@@ -224,7 +229,14 @@ def _factor_panel(panel, perm0):
         panel = panel.at[:, j].set(jnp.where(rows > j, l, col))
         return panel, perm
 
-    return lax.fori_loop(0, bs, body, (panel, perm0))
+    def body(i, state):
+        panel, perm = state
+        j0 = i * unroll
+        for u in range(unroll):
+            panel, perm = eliminate(j0 + u, panel, perm)
+        return panel, perm
+
+    return lax.fori_loop(0, bs // unroll, body, (panel, perm0))
 
 
 # ---------------------------------------------------------------------------
