@@ -244,12 +244,16 @@ def _factor_panel(panel, perm0, unroll: int = PANEL_UNROLL):
 # ---------------------------------------------------------------------------
 
 def _pick_block(N: int, bs: int | None) -> int:
-    """Largest power-of-two multiple of _TRI_BASE <= min(requested, ~N)."""
+    """Largest power of two <= min(requested, ~N), floor 8.
+
+    Small matrices (surface-GF blocks, 9x9 Bethe) get small panels so the
+    sequential loops don't run on padding.
+    """
     if bs is None:
         from gaunegf_tpu.config import LU_BLOCK_SIZE
         bs = LU_BLOCK_SIZE
-    cap = min(bs, max(N, _TRI_BASE))
-    b = _TRI_BASE
+    cap = min(bs, max(N, 8))
+    b = 8
     while b * 2 <= cap:
         b *= 2
     return b
