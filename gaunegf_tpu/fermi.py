@@ -40,13 +40,14 @@ _DEFAULT_EXEC = ExecutionConfig()
 FERMI_DEBUG = False
 
 
-def _p_mu(g, Emin, N, tol, T, exec_cfg, mesh):
+def _p_mu(g, Emin, N, tol, T, exec_cfg, mesh, method="ant"):
     if N is None:
         return lambda E: density_complex(g.F, g.S, g, Emin, E, tol, T,
                                          exec_cfg=exec_cfg, mesh=mesh,
                                          verbose=False)
     return lambda E: density_complex_n(g.F, g.S, g, Emin, E, int(N), T=T,
-                                       exec_cfg=exec_cfg, mesh=mesh)
+                                       method=method, exec_cfg=exec_cfg,
+                                       mesh=mesh)
 
 
 def _ne_of(P, S, n_orbs=0):
@@ -80,7 +81,9 @@ def calc_fermi(g, ne, Emin, Emax, fermi_guess=0.0, N1=100, N2=50,
     if ne_low >= ne:
         raise RuntimeError(
             "Calculated Fermi energy is below lowest orbital energy!")
-    p_mu = _p_mu(g, Emin, N1, tol, T, exec_cfg, mesh)
+    # the reference's bracketed search probes with the Legendre contour
+    # (density.py:1110-1112), unlike the ANT-rule defaults elsewhere
+    p_mu = _p_mu(g, Emin, N1, tol, T, exec_cfg, mesh, method="legendre")
 
     n_curr = -1.0
     counter = 0
