@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from gaunegf_tpu.config import (
@@ -29,7 +28,6 @@ from gaunegf_tpu.config import (
     MAX_GRID_POINTS, TEMPERATURE, ExecutionConfig)
 from gaunegf_tpu import quadrature as quad
 from gaunegf_tpu.ops.greens import EnergyEngine
-from gaunegf_tpu.ops import zlinalg as zl
 
 __all__ = [
     "density_analytic", "bisect_fermi", "dos_at_energy",

@@ -18,8 +18,6 @@ never the converged Fermi level).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import scipy.linalg
 
@@ -27,8 +25,8 @@ from gaunegf_tpu.config import (
     ADAPTIVE_INTEGRATION_TOL, ENERGY_MIN, FERMI_CALCULATION_TOL,
     FERMI_SEARCH_CYCLES, MAX_CYCLES, TEMPERATURE, ExecutionConfig)
 from gaunegf_tpu.density import (
-    calc_emin, density_complex, density_complex_n, density_real,
-    density_real_n, dos_at_energy, integral_fit)
+    density_complex, density_complex_n, density_real, density_real_n,
+    dos_at_energy, integral_fit)
 
 __all__ = [
     "calc_fermi", "calc_fermi_bisect", "calc_fermi_secant",

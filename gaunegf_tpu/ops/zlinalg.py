@@ -39,7 +39,6 @@ Reference parity: utils.py:12-62 (inv/eig/eigh/fractional_matrix_power).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ reduction).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

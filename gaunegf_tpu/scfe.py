@@ -9,8 +9,6 @@ seam.  Reference call stack: SURVEY.md section 3.3 (scfE.py:301-462).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from gaunegf_tpu.config import (

@@ -20,8 +20,7 @@ import numpy as np
 
 from gaunegf_tpu import spin as spinmod
 from gaunegf_tpu.config import ENERGY_STEP, N_KT, TEMPERATURE, ExecutionConfig
-from gaunegf_tpu.ops.greens import (
-    EnergyEngine, _build_map_engine, _gr_point, _layout, _unlayout)
+from gaunegf_tpu.ops.greens import EnergyEngine, _gr_point
 from gaunegf_tpu.units import EOVERH, KB
 
 __all__ = [
