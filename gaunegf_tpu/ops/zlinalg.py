@@ -191,7 +191,10 @@ def _scatter_pairs_off(X, Xoff, s, lower: bool):
 # Panel factorization (partial pivoting) - VPU work, one fused loop
 # ---------------------------------------------------------------------------
 
-PANEL_UNROLL = 8    # column eliminations fused per loop iteration
+import os
+
+PANEL_UNROLL = int(os.environ.get("GAUNEGF_PANEL_UNROLL", "8"))
+# column eliminations fused per loop iteration (bandwidth/dispatch tradeoff)
 
 
 def _factor_panel(panel, perm0, unroll: int = PANEL_UNROLL):
