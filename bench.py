@@ -25,9 +25,9 @@ import numpy as np
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
 N = 1000
-N_E = 128
-CHUNK = 64
-WARMUP_E = N_E      # same shape as the timed run -> exactly one compile
+N_E = 512           # long grid amortizes the tunnel's fixed ~1.2s D2H cost
+CHUNK = 64          # (profiled: device compute is ~10 ms/point; the axon
+WARMUP_E = N_E      # tunnel moves the 8 MB result at ~7 MB/s)
 
 
 def main():
