@@ -99,7 +99,11 @@ class ExecutionConfig:
     refine_steps: int = 2
     energy_chunk: int = DEFAULT_ENERGY_CHUNK
     lu_block: int = LU_BLOCK_SIZE
-    lu_panel: str = "xla"       # 'xla' fused loop | 'pallas' VMEM kernel
+    # 'virtual' (default): transposed-layout virtually-pivoted panel --
+    #   no lane-dim dynamic indexing, 2.4x faster than 'xla' on TPU with
+    #   bitwise-identical pivots; 'xla': swap-based fused loop;
+    #   'pallas': VMEM-resident kernel (experimental).
+    lu_panel: str = "virtual"
     # low-rank contact fast path: transmission/G< solve only the contact
     # columns of G (LU cost unchanged, triangular solves shrink N->nc).
     # Neglects the -1j*1e-9*S broadening background's Gamma (~1e-9 rel).

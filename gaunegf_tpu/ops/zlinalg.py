@@ -241,6 +241,65 @@ def _factor_panel(panel, perm0, unroll: int = PANEL_UNROLL):
     return lax.fori_loop(0, bs // unroll, body, (panel, perm0))
 
 
+def _factor_panel_virtual(panel, unroll: int = PANEL_UNROLL):
+    """Virtually-pivoted panel factorization on a transposed layout.
+
+    Profiling showed the swap-based loop is dominated by lane-dimension
+    dynamic indexing (column reads/writes on the last axis force relayout
+    passes).  Here the panel lives transposed as (bs, m): column access is
+    a cheap sublane-dynamic row read, and instead of physically swapping
+    rows we track pivot rows with an availability mask ("virtual
+    pivoting").  Per elimination: one narrow row read, one masked-reduce
+    pass (pivot-row extraction), one rank-1 pass, one narrow row write.
+
+    The pivot SEQUENCE matches partial pivoting exactly (same argmax over
+    the same candidate values); only the row bookkeeping differs.  Returns
+    (packed panel in pivoted row order (m, bs), perm) with the same
+    contract as _factor_panel.
+    """
+    m, bs = panel.shape
+    pt = panel.T                                   # (bs, m)
+    lanes = jnp.arange(m)
+    colidx = jnp.arange(bs)
+    while bs % unroll:
+        unroll //= 2
+
+    def eliminate(j, pt, avail, pivrows):
+        col = pt[j, :]                             # (m,) sublane row read
+        mag = jnp.where(avail, jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(mag)
+        piv = col[p]
+        safe = jnp.where(piv == 0, 1.0, piv)       # padded/singular guard
+        l = jnp.where(avail & (lanes != p), col / safe, 0.0)
+        # full logical row p via one masked reduction over lanes
+        urow = jnp.sum(jnp.where((lanes == p)[None, :], pt, 0.0), axis=1)
+        u = jnp.where(colidx > j, urow, 0.0)
+        pt = pt - jnp.outer(u, l)
+        # column j: keep U values on pivoted rows, multipliers elsewhere
+        pt = pt.at[j, :].set(jnp.where(avail & (lanes != p), l, col))
+        avail = avail & (lanes != p)
+        pivrows = pivrows.at[j].set(p.astype(jnp.int32))
+        return pt, avail, pivrows
+
+    def body(i, state):
+        pt, avail, pivrows = state
+        j0 = i * unroll
+        for u_ in range(unroll):
+            pt, avail, pivrows = eliminate(j0 + u_, pt, avail, pivrows)
+        return pt, avail, pivrows
+
+    init = (pt, jnp.ones((m,), bool), jnp.zeros((bs,), jnp.int32))
+    pt, avail, pivrows = lax.fori_loop(0, bs // unroll, body, init)
+
+    # compose the permutation: pivot rows first (in elimination order),
+    # then the untouched rows in ascending original order
+    rest = jnp.where(avail, size=m - bs)[0].astype(jnp.int32) \
+        if m > bs else jnp.zeros((0,), jnp.int32)
+    perm = jnp.concatenate([pivrows, rest])
+    packed = pt.T[perm, :]
+    return packed, perm
+
+
 # ---------------------------------------------------------------------------
 # Blocked solve: right-looking LU fused with forward substitution
 # ---------------------------------------------------------------------------
@@ -272,7 +331,7 @@ def _pad_to(A, Np):
     return out.at[..., idx, idx].set(1.0)
 
 
-def _zsolve_single(A, B, bs: int, panel_impl: str = "xla"):
+def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
     """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
 
     Layout: M = [A | B] (N, N+k).  For each panel: fused pivoted panel
@@ -299,6 +358,8 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "xla"):
         if panel_impl == "pallas":
             from gaunegf_tpu.ops.pallas.panel_lu import factor_panel_pallas
             panel, perm = factor_panel_pallas(panel)
+        elif panel_impl == "virtual":
+            panel, perm = _factor_panel_virtual(panel)
         else:
             perm0 = jnp.arange(m, dtype=jnp.int32)
             panel, perm = _factor_panel(panel, perm0)
@@ -332,7 +393,7 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "xla"):
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "panel_impl"))
-def _zsolve_batched(A, B, bs: int, panel_impl: str = "xla"):
+def _zsolve_batched(A, B, bs: int, panel_impl: str = "virtual"):
     fn = lambda a, b: _zsolve_single(a, b, bs, panel_impl)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
@@ -340,7 +401,7 @@ def _zsolve_batched(A, B, bs: int, panel_impl: str = "xla"):
 
 
 def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
-           panel_impl: str = "xla"):
+           panel_impl: str = "virtual"):
     """Solve A X = B for batched complex A.
 
     method: None (auto), 'lapack' or 'blocked'.
@@ -356,7 +417,7 @@ def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
 
 
 def zinv(A, *, method: str | None = None, bs: int | None = None,
-         panel_impl: str = "xla"):
+         panel_impl: str = "virtual"):
     """Batched complex inverse (reference utils.py:52-54 ``inv``)."""
     N = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), A.shape)
@@ -408,7 +469,7 @@ def matmul_hp(a, b):
 
 
 def zinv_refined(A, *, steps: int = 2, method: str | None = None,
-                 bs: int | None = None, panel_impl: str = "xla"):
+                 bs: int | None = None, panel_impl: str = "virtual"):
     """Inverse with Newton refinement: X <- X + X (I - A X).
 
     Residual I - A X is evaluated with double-float matmuls, so each step
