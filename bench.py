@@ -26,7 +26,7 @@ CPU_BASELINE_PTS_PER_SEC = 5.0
 
 N = 1000
 N_E = 512           # long grid amortizes the tunnel's fixed ~1.2s D2H cost
-CHUNK = 64          # (profiled: device compute is ~10 ms/point; the axon
+CHUNK = 64          # (device compute ~2 ms/point at N=1000; the axon
 WARMUP_E = N_E      # tunnel moves the 8 MB result at ~7 MB/s)
 
 
