@@ -334,11 +334,15 @@ def _pad_to(A, Np):
 def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
     """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
 
-    Layout: M = [A | B] (N, N+k).  For each panel: fused pivoted panel
-    factorization; ONE gather applies the composed permutation to all other
-    columns; L11^-1 (block-doubling) turns the panel solve + forward
-    substitution into matmuls; trailing update on the MXU.  Backward pass
-    uses batched block-doubling inverses of the U diagonal blocks.
+    Pure-dataflow right-looking LU fused with forward substitution: the
+    working matrix [A | B] shrinks panel by panel (each iteration consumes
+    `work` and produces the smaller trailing block), so XLA never has to
+    alias-analyze updates into one large buffer -- profiling showed the
+    at[].set formulation spent ~25% of device time in copies.  Per panel:
+    fused pivoted factorization, ONE permutation gather, L11^-1
+    (block-doubling) turning the panel solve + forward substitution into
+    matmuls, and the trailing MXU update.  Backward substitution uses
+    batched block-doubling inverses of the saved U diagonal blocks.
     """
     N = A.shape[-1]
     k = B.shape[-1]
@@ -347,14 +351,15 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
     A = _pad_to(A, Np)
     nb = Np // bs
 
-    M = jnp.concatenate(
+    work = jnp.concatenate(
         [A, jnp.concatenate([B, jnp.zeros((n_pad, k), B.dtype)], axis=0)],
         axis=1)                                     # (Np, Np + k)
 
+    u_rows = []                                     # per panel: (bs, rest+k)
+    u_diag = []                                     # per panel: (bs, bs)
     for kb in range(nb):
-        k0 = kb * bs
-        m = Np - k0
-        panel = M[k0:, k0:k0 + bs]
+        panel = work[:, :bs]
+        m = panel.shape[0]
         if panel_impl == "pallas":
             from gaunegf_tpu.ops.pallas.panel_lu import factor_panel_pallas
             panel, perm = factor_panel_pallas(panel)
@@ -363,32 +368,25 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
         else:
             perm0 = jnp.arange(m, dtype=jnp.int32)
             panel, perm = _factor_panel(panel, perm0)
-        # one gather applies the composed permutation to the other columns
-        left = M[k0:, :k0]
-        rest = M[k0:, k0 + bs:]
-        if k0 > 0:
-            M = M.at[k0:, :k0].set(left[perm, :])
-        M = M.at[k0:, k0 + bs:].set(rest[perm, :])
-        M = M.at[k0:, k0:k0 + bs].set(panel)
-        # panel triangular solve + forward substitution, all matmuls
+        rest = work[:, bs:][perm, :]                # one permutation gather
         L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
         Linv = _tri_inv_fast(L11, lower=True, unit=True)
-        U12R = _mm(Linv, M[k0:k0 + bs, k0 + bs:])
-        M = M.at[k0:k0 + bs, k0 + bs:].set(U12R)
-        if k0 + bs < Np:
+        U12R = _mm(Linv, rest[:bs, :])
+        u_diag.append(jnp.triu(panel[:bs, :]))
+        u_rows.append(U12R)
+        if kb < nb - 1:
             L21 = panel[bs:, :]
-            M = M.at[k0 + bs:, k0 + bs:].add(-_mm(L21, U12R))
+            work = rest[bs:, :] - _mm(L21, U12R)    # shrunk trailing block
 
     # backward substitution: X = U^-1 Y with batched diagonal inverses
-    Udiag = jnp.triu(_stack_diag(M[:, :Np], bs))     # (nb, bs, bs)
-    Uinv = _tri_inv_fast(Udiag, lower=False, unit=False)
-    X = jnp.zeros((Np, k), dtype=B.dtype)
+    Uinv = _tri_inv_fast(jnp.stack(u_diag), lower=False, unit=False)
+    X = jnp.zeros((0, k), dtype=B.dtype)
     for ib in range(nb - 1, -1, -1):
-        i0 = ib * bs
-        acc = M[i0:i0 + bs, Np:]
-        if i0 + bs < Np:
-            acc = acc - _mm(M[i0:i0 + bs, i0 + bs:Np], X[i0 + bs:, :])
-        X = X.at[i0:i0 + bs, :].set(_mm(Uinv[ib], acc))
+        row = u_rows[ib]                            # (bs, rest_ib + k)
+        acc = row[:, -k:]
+        if X.shape[0] > 0:
+            acc = acc - _mm(row[:, :X.shape[0]], X)
+        X = jnp.concatenate([_mm(Uinv[ib], acc), X], axis=0)
     return X[:N, :]
 
 
