@@ -96,7 +96,8 @@ class ExecutionConfig:
     # 'mixed'  : f32 blocked LU + iterative refinement (default on TPU)
     # 'strict' : complex128 LAPACK path (CPU) / x64 (where supported)
     precision: str = "mixed"
-    refine_steps: int = 2
+    refine_steps: int = 1   # Newton refinement squares the error: one step
+                            # takes complex64 LU from ~2e-5 to ~3e-6 rel
     energy_chunk: int = DEFAULT_ENERGY_CHUNK
     lu_block: int = LU_BLOCK_SIZE
     # 'virtual' (default): transposed-layout virtually-pivoted panel --

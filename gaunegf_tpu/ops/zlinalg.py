@@ -436,21 +436,24 @@ def _split_hi(x):
 
 def _matmul_hp_real(a, b):
     """f32 matmul with double-float error compensation: returns (hi, lo)
-    such that hi + lo ~= a @ b to ~1e-10 relative."""
+    such that hi + lo ~= a @ b to ~1e-10 relative.
+
+    The lo*lo cross term is ~2^-24 of lo (itself ~2^-12 of the values) and
+    is dropped: 3 matmuls instead of 4."""
     a_hi, a_lo = _split_hi(a)
     b_hi, b_lo = _split_hi(b)
     p1 = jnp.matmul(a_hi, b_hi, precision=_HI)
     p2 = jnp.matmul(a_hi, b_lo, precision=_HI)
     p3 = jnp.matmul(a_lo, b_hi, precision=_HI)
-    p4 = jnp.matmul(a_lo, b_lo, precision=_HI)
-    return p1, (p2 + p3) + p4
+    return p1, p2 + p3
 
 
 def matmul_hp(a, b):
     """Complex matmul with improved accuracy (double-float partials).
 
     Used for iterative-refinement residuals where plain f32 accumulation
-    would cap the attainable accuracy.
+    would cap the attainable accuracy.  Karatsuba over the complex
+    components: 3 real hp-products instead of 4 (9 MXU matmuls total).
     """
     if a.dtype in (jnp.complex128, jnp.float64):
         # Already double precision (CPU x64 path) - plain matmul suffices.
@@ -459,10 +462,9 @@ def matmul_hp(a, b):
     br, bi = jnp.real(b), jnp.imag(b)
     rr_h, rr_l = _matmul_hp_real(ar, br)
     ii_h, ii_l = _matmul_hp_real(ai, bi)
-    ri_h, ri_l = _matmul_hp_real(ar, bi)
-    ir_h, ir_l = _matmul_hp_real(ai, br)
+    mix_h, mix_l = _matmul_hp_real(ar + ai, br + bi)
     re = (rr_h - ii_h) + (rr_l - ii_l)
-    im = (ri_h + ir_h) + (ri_l + ir_l)
+    im = (mix_h - rr_h - ii_h) + (mix_l - rr_l - ii_l)
     return re + 1j * im
 
 
