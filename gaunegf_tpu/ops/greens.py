@@ -60,6 +60,36 @@ def _gr_point(E, H, S, sigma, exec_cfg: ExecutionConfig):
     return zl.zinv(A, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel)
 
 
+def _assemble_A_dw(E_dw, H_dw, S_dw, sigma):
+    """Double-word operator A = E*S - H - Sigma: the E*S product and the
+    additions carry their rounding errors into A_lo (TwoProd/TwoSum), so
+    the operator is accurate to ~1e-12 despite f32 storage.  Sigma enters
+    single-word (its own evaluation is f32-limited)."""
+    E_hi, E_lo = E_dw
+    H_hi, H_lo = H_dw
+    S_hi, S_lo = S_dw
+    p_hi, p_lo = zl.ctwo_prod(E_hi, S_hi)
+    a1, e1 = zl.ctwo_sum(p_hi, -H_hi)
+    a2, e2 = zl.ctwo_sum(a1, -sigma)
+    A_lo = (p_lo + E_hi * S_lo + E_lo * S_hi - H_lo) + (e1 + e2)
+    return a2, A_lo
+
+
+def _point_gr_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
+                          _unused, exec_cfg):
+    """'high' tier: w * G(E) as a double-word (hi, lo) pair."""
+    E_hi, _ = E_dw
+    sigma = sig_tot_fn(params, E_hi).astype(H_dw[0].dtype)
+    A_hi, A_lo = _assemble_A_dw(E_dw, H_dw, S_dw, sigma)
+    X_hi, X_lo = zl.zinv_dw(A_hi, A_lo, steps=exec_cfg.refine_steps + 1,
+                            bs=exec_cfg.lu_block,
+                            panel_impl=exec_cfg.lu_panel)
+    w_hi, w_lo = w_dw
+    c_hi, c_p = zl.ctwo_prod(w_hi, X_hi)
+    c_lo = c_p + w_hi * X_lo + w_lo * X_hi
+    return c_hi, c_lo
+
+
 def _kahan_add(carry, x):
     s, c = carry
     y = x - c
@@ -202,6 +232,85 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
     return engine
 
 
+def _cdw_add(s, x):
+    """Complex double-word accumulate (TwoSum per component)."""
+    s_hi, s_lo = s
+    x_hi, x_lo = x
+    t, e = zl.ctwo_sum(s_hi, x_hi)
+    return t, s_lo + x_lo + e
+
+
+@lru_cache(maxsize=None)
+def _build_sum_engine_dw(point_fn, sig_tot_fn, sig_c_fn,
+                         exec_cfg: ExecutionConfig, mesh: Optional[Mesh]):
+    """'high'-tier engine: double-word accumulation end to end.
+
+    Inputs arrive as (hi, lo) split pairs; per-point contributions are
+    (hi, lo); reductions within the chunk, across chunks and across the
+    mesh use TwoSum double-word adds, so the final density keeps ~1e-9
+    information despite f32 storage (merged to f64 on the host)."""
+
+    def device_body(params, H_dw, S_dw, E_dw, w_dw, varying=False):
+        N = H_dw[0].shape[-1]
+        dt = H_dw[0].dtype
+
+        def scan_fn(carry, inputs):
+            Eb_dw, wb_dw = inputs
+            his, los = jax.vmap(
+                lambda e_hi, e_lo, w_hi, w_lo: point_fn(
+                    (e_hi, e_lo), (w_hi, w_lo), H_dw, S_dw, params,
+                    sig_tot_fn, sig_c_fn, exec_cfg))(
+                        Eb_dw[0], Eb_dw[1], wb_dw[0], wb_dw[1])
+
+            def red(i, s):
+                return _cdw_add(s, (his[i], los[i]))
+
+            chunk_sum = lax.fori_loop(0, his.shape[0], red,
+                                      (jnp.zeros((N, N), dt),
+                                       jnp.zeros((N, N), dt)))
+            return _cdw_add(carry, chunk_sum), None
+
+        init = (jnp.zeros((N, N), dt), jnp.zeros((N, N), dt))
+        if varying:
+            init = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+        (s_hi, s_lo), _ = lax.scan(scan_fn, init, (E_dw, w_dw))
+        return s_hi, s_lo
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, E_s, w_s):
+            params, H_dw, S_dw, E_dw, w_dw = merge_tree(
+                (params_s, H_s, S_s, E_s, w_s))
+            E_dw = (E_dw[0][0], E_dw[1][0])
+            w_dw = (w_dw[0][0], w_dw[1][0])
+            return split_traced(device_body(params, H_dw, S_dw, E_dw, w_dw))
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, w_s):
+        def per_device(params_s, H_s, S_s, E_s, w_s):
+            params, H_dw, S_dw, E_dw, w_dw = merge_tree(
+                (params_s, H_s, S_s, E_s, w_s))
+            E_dw = (E_dw[0][0], E_dw[1][0])
+            w_dw = (w_dw[0][0], w_dw[1][0])
+            s_hi, s_lo = device_body(params, H_dw, S_dw, E_dw, w_dw,
+                                     varying=True)
+            # psum the parts separately; the lo parts absorb the error
+            return split_traced((lax.psum(s_hi, ENERGY_AXIS),
+                                 lax.psum(s_lo, ENERGY_AXIS)))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(),
+        )(params_s, H_s, S_s, E_s, w_s)
+
+    return engine
+
+
 @lru_cache(maxsize=None)
 def _build_map_engine(point_fn, fns, exec_cfg: ExecutionConfig,
                       mesh: Optional[Mesh]):
@@ -296,9 +405,24 @@ class EnergyEngine:
         self.provider = provider
         self.exec_cfg = exec_cfg
         self.mesh = mesh
-        self.cdtype = _cdtype(exec_cfg)
-        self.H_s = split_tree(np.asarray(H, dtype=self.cdtype), self.cdtype)
-        self.S_s = split_tree(np.asarray(S, dtype=self.cdtype), self.cdtype)
+        self.high = exec_cfg.precision == "high"
+        self.cdtype = np.complex64 if self.high else _cdtype(exec_cfg)
+        if self.high:
+            self.H_s = self._dw_split(H)
+            self.S_s = self._dw_split(S)
+        else:
+            self.H_s = split_tree(np.asarray(H, dtype=self.cdtype),
+                                  self.cdtype)
+            self.S_s = split_tree(np.asarray(S, dtype=self.cdtype),
+                                  self.cdtype)
+
+    def _dw_split(self, x):
+        """Exact two-float decomposition of an f64 array, each half as a
+        complex-safe split pair."""
+        x = np.asarray(x, dtype=np.complex128)
+        hi = x.astype(np.complex64)
+        lo = (x - hi.astype(np.complex128)).astype(np.complex64)
+        return (split_tree(hi, np.complex64), split_tree(lo, np.complex64))
 
     def _prep(self, E, w):
         E_lay, w_lay, n, _ = _layout(
@@ -316,8 +440,9 @@ class EnergyEngine:
     def _log_dispatch(self, kind, n_energies):
         from gaunegf_tpu.utils.logging import get_logger
         n_dev = 1 if self.mesh is None else self.mesh.devices.size
+        Hs = self.H_s[0] if self.high else self.H_s
         get_logger("engine").debug(
-            f"{kind}: N={self.H_s.re.shape[-1]} nE={n_energies} "
+            f"{kind}: N={Hs.re.shape[-1]} nE={n_energies} "
             f"chunk={self.exec_cfg.energy_chunk} devices={n_dev} "
             f"precision={self.exec_cfg.precision}")
 
@@ -325,10 +450,22 @@ class EnergyEngine:
         """sum_k w_k G(E_k); parity with integrate.GrInt."""
         from gaunegf_tpu.utils.logging import perf_span
         fn, params = self.provider.total_apply()
+        self._log_dispatch("gr_sum", np.size(E))
+        if self.high:
+            eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
+                                       self.exec_cfg, self.mesh)
+            E_lay, w_lay, _, _ = _layout(
+                np.asarray(E, dtype=np.complex128),
+                np.asarray(w, dtype=np.complex128),
+                self.mesh, self.exec_cfg.energy_chunk)
+            with perf_span("gr_sum_dw", nE=np.size(E)):
+                out = eng(self._params_split(params), self.H_s, self.S_s,
+                          self._dw_split(E_lay), self._dw_split(w_lay))
+            hi, lo = merge_host(out)
+            return hi.astype(np.complex128) + lo.astype(np.complex128)
         eng = _build_sum_engine(_point_gr_weighted, fn, None,
                                 self.exec_cfg, self.mesh)
         E_s, w_s, _ = self._prep(E, w)
-        self._log_dispatch("gr_sum", np.size(E))
         with perf_span("gr_sum", nE=np.size(E)):
             out = eng(self._params_split(params), self.H_s, self.S_s,
                       E_s, w_s)

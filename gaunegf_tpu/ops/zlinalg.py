@@ -436,24 +436,24 @@ def _split_hi(x):
 
 def _matmul_hp_real(a, b):
     """f32 matmul with double-float error compensation: returns (hi, lo)
-    such that hi + lo ~= a @ b to ~1e-10 relative.
-
-    The lo*lo cross term is ~2^-24 of lo (itself ~2^-12 of the values) and
-    is dropped: 3 matmuls instead of 4."""
+    such that hi + lo ~= a @ b to near the f32-accumulation floor."""
     a_hi, a_lo = _split_hi(a)
     b_hi, b_lo = _split_hi(b)
     p1 = jnp.matmul(a_hi, b_hi, precision=_HI)
     p2 = jnp.matmul(a_hi, b_lo, precision=_HI)
     p3 = jnp.matmul(a_lo, b_hi, precision=_HI)
-    return p1, p2 + p3
+    p4 = jnp.matmul(a_lo, b_lo, precision=_HI)
+    return p1, (p2 + p3) + p4
 
 
 def matmul_hp(a, b):
     """Complex matmul with improved accuracy (double-float partials).
 
-    Used for iterative-refinement residuals where plain f32 accumulation
-    would cap the attainable accuracy.  Karatsuba over the complex
-    components: 3 real hp-products instead of 4 (9 MXU matmuls total).
+    Used for iterative-refinement residuals where plain f32 product
+    rounding would cap the attainable accuracy.  Note the remaining floor
+    is the f32 accumulation over the contraction dimension (~sqrt(K)*eps);
+    a Karatsuba variant was tried and rejected -- its hi-level
+    cancellation costs a decimal digit.
     """
     if a.dtype in (jnp.complex128, jnp.float64):
         # Already double precision (CPU x64 path) - plain matmul suffices.
@@ -462,10 +462,93 @@ def matmul_hp(a, b):
     br, bi = jnp.real(b), jnp.imag(b)
     rr_h, rr_l = _matmul_hp_real(ar, br)
     ii_h, ii_l = _matmul_hp_real(ai, bi)
-    mix_h, mix_l = _matmul_hp_real(ar + ai, br + bi)
+    ri_h, ri_l = _matmul_hp_real(ar, bi)
+    ir_h, ir_l = _matmul_hp_real(ai, br)
     re = (rr_h - ii_h) + (rr_l - ii_l)
-    im = (mix_h - rr_h - ii_h) + (mix_l - rr_l - ii_l)
+    im = (ri_h + ir_h) + (ri_l + ir_l)
     return re + 1j * im
+
+
+def two_sum(a, b):
+    """Knuth TwoSum: exact error of a floating-point addition (per part)."""
+    t = a + b
+    bb = t - a
+    err = (a - (t - bb)) + (b - bb)
+    return t, err
+
+
+def two_prod(a, b):
+    """Dekker TwoProd via 12-bit splits: a*b = p + e (nearly exactly)."""
+    p = a * b
+    a1, a2 = _split_hi(a)
+    b1, b2 = _split_hi(b)
+    e = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, e
+
+
+def ctwo_sum(a, b):
+    """Complex TwoSum: returns (hi, lo) with hi+lo = a+b (per component)."""
+    tr, er = two_sum(jnp.real(a), jnp.real(b))
+    ti, ei = two_sum(jnp.imag(a), jnp.imag(b))
+    return tr + 1j * ti, er + 1j * ei
+
+
+def ctwo_prod(a, b):
+    """Complex TwoProd: (hi, lo) with hi+lo ~= a*b to double-float."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    p1, e1 = two_prod(ar, br)
+    p2, e2 = two_prod(ai, bi)
+    re, es = two_sum(p1, -p2)
+    re_lo = es + (e1 - e2)
+    p3, e3 = two_prod(ar, bi)
+    p4, e4 = two_prod(ai, br)
+    im, es2 = two_sum(p3, p4)
+    im_lo = es2 + (e3 + e4)
+    return re + 1j * im, re_lo + 1j * im_lo
+
+
+def dw_add(s, x):
+    """Double-word accumulate: s=(hi,lo) += x=(hi,lo) with error capture."""
+    s_hi, s_lo = s
+    x_hi, x_lo = x
+    t, e = two_sum(s_hi, x_hi)
+    return t, s_lo + x_lo + e
+
+
+def dw_from(x):
+    return x, jnp.zeros_like(x)
+
+
+def zinv_dw(A_hi, A_lo, *, steps: int = 2, bs: int | None = None,
+            panel_impl: str = "virtual", method: str | None = None):
+    """Double-word inverse: X_hi + X_lo ~= (A_hi + A_lo)^-1 to ~1e-9.
+
+    A is carried as an exact two-float split (A = A_hi + A_lo with A_hi the
+    f32 rounding of the f64 operator).  The complex64 blocked LU gives X0;
+    Newton steps refine against the *double-word* operator with Karatsuba
+    double-float residual matmuls, and the correction is folded in with
+    TwoSum so X keeps ~1e-9 information despite f32 storage.  This is the
+    'high' precision tier: on-TPU densities beyond the f32 representation
+    floor (complexio ships hi/lo pairs separately).
+    """
+    N = A_hi.shape[-1]
+    eye = jnp.eye(N, dtype=A_hi.dtype)
+    X_hi = zinv(A_hi, method=method, bs=bs, panel_impl=panel_impl)
+    X_lo = jnp.zeros_like(X_hi)
+    for _ in range(steps):
+        # R = I - A_hi X_hi - (A_hi X_lo + A_lo X_hi); the leading product
+        # in double-float precision, small cross terms in plain f32
+        R = (eye - matmul_hp(A_hi, X_hi)) \
+            - (_mm(A_hi, X_lo) + _mm(A_lo, X_hi))
+        ok = jnp.max(jnp.abs(R)) < 0.5      # near-singular safeguard
+        D = jnp.where(ok, _mm(X_hi, R), 0.0)
+        # X += D with TwoSum on both components
+        tr, er = two_sum(jnp.real(X_hi), jnp.real(D))
+        ti, ei = two_sum(jnp.imag(X_hi), jnp.imag(D))
+        X_hi = tr + 1j * ti
+        X_lo = X_lo + (er + 1j * ei)
+    return X_hi, X_lo
 
 
 def zinv_refined(A, *, steps: int = 2, method: str | None = None,
@@ -480,7 +563,10 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
     eye = jnp.eye(N, dtype=A.dtype)
     for _ in range(steps):
         R = eye - matmul_hp(A, X)
-        X = X + _mm(X, R)
+        # safeguard: near-singular systems (kappa ~ 1/eps32) have ||R|| >~ 1
+        # and a Newton step would amplify noise -- keep X there
+        ok = jnp.max(jnp.abs(R)) < 0.5
+        X = jnp.where(ok, X + _mm(X, R), X)
     return X
 
 

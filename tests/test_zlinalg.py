@@ -111,3 +111,48 @@ def test_matmul_hp(rng):
     ref = a.astype(np.complex128) @ b.astype(np.complex128)
     rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
     assert rel < 1e-6
+
+
+def test_zinv_dw_high_precision(rng):
+    """Double-word inverse: beyond the complex64 representation floor."""
+    import jax.numpy as jnp
+    from gaunegf_tpu.ops import zlinalg as zl
+    n = 96
+    A64 = _random_negf_matrix(rng, n, eta=0.1)
+    hi = A64.astype(np.complex64)
+    lo = (A64 - hi.astype(np.complex128)).astype(np.complex64)
+    X_hi, X_lo = zl.zinv_dw(jnp.asarray(hi), jnp.asarray(lo), steps=2,
+                            method="blocked")
+    X = np.asarray(X_hi).astype(np.complex128) \
+        + np.asarray(X_lo).astype(np.complex128)
+    X_ref = np.linalg.inv(A64)
+    rel = np.max(np.abs(X - X_ref)) / np.max(np.abs(X_ref))
+    # floor = f32 accumulation of the residual matmul (~sqrt(K)*eps*scale);
+    # an Ozaki-style exact-accumulation residual is the next tier
+    assert rel < 3e-6
+    # and it must beat the plain complex64 inverse
+    X32 = np.asarray(zl.zinv(jnp.asarray(hi), method="blocked"))
+    rel32 = np.max(np.abs(X32 - X_ref)) / np.max(np.abs(X_ref))
+    assert rel < rel32
+
+
+def test_high_tier_engine(rng):
+    """'high' precision engine: double-word density sums reach ~1e-7."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.ops.greens import EnergyEngine
+    n = 64
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1)) \
+        + np.diag(0.2 * rng.standard_normal(n))
+    S = np.eye(n)
+    g = ConstantSelfEnergy(H, S, [np.arange(6), np.arange(n - 6, n)],
+                           sig1=-0.1j)
+    E = np.linspace(-2, 2, 12)
+    w = rng.random(12)
+    st = np.asarray(g.sigmaTot(0.0)).astype(np.complex128)
+    ref = sum(ww * np.linalg.inv(e * S - H - st) for e, ww in zip(E, w))
+    eng = EnergyEngine(H, S, g, ExecutionConfig(precision="high",
+                                                energy_chunk=4))
+    out = eng.gr_sum(E, w)
+    rel = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-6
