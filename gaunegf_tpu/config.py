@@ -109,6 +109,10 @@ class ExecutionConfig:
     # columns of G (LU cost unchanged, triangular solves shrink N->nc).
     # Neglects the -1j*1e-9*S broadening background's Gamma (~1e-9 rel).
     use_lowrank: bool = True
+    # warm-start provider fixed points from the previous energy along each
+    # lane's contiguous grid segment (providers exposing
+    # contacts_warm_apply, e.g. Bethe lattices)
+    warm_start: bool = True
 
 
 def replace(cfg, **kwargs):

@@ -50,7 +50,8 @@ __all__ = ["BetheGeometry", "BetheAtomGF", "BetheSelfEnergy"]
 @partial(jax.jit, static_argnames=("max_iter", "update"))
 def bethe_sigma_k(E, H, Slist, Vlist, eta,
                   conv=SURFACE_GREEN_CONVERGENCE, mix=SURFACE_BETHE_MIX,
-                  max_iter=SURFACE_MAX_ITER_BETHE, update="jacobi"):
+                  max_iter=SURFACE_MAX_ITER_BETHE, update="jacobi",
+                  sig0=None):
     """Bulk 12-direction Dyson fixed point (surfGBethe.py:957-1030).
 
     sigma_k[k] satisfies: sigma_k[k] = B_k g_k B_k+ with
@@ -70,8 +71,14 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
     Bd = jnp.conj(jnp.swapaxes(B, -1, -2))
     pair = jnp.asarray(PAIR)
 
-    sig0 = jnp.broadcast_to(-1j * jnp.eye(DIM, dtype=cdt),
-                            (NN, DIM, DIM)).astype(cdt)
+    if sig0 is None:
+        sig0 = jnp.broadcast_to(-1j * jnp.eye(DIM, dtype=cdt),
+                                (NN, DIM, DIM)).astype(cdt)
+    else:
+        # warm start from a previous energy point (the TPU-native
+        # replacement for the reference's sequential sigmaKprev reuse,
+        # surfG3D.py:877-879 / SURVEY.md section 7.4 item 2)
+        sig0 = sig0.astype(cdt)
 
     def cond(state):
         count, diff, sig, _ = state
@@ -111,11 +118,15 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
 def bethe_sigma_surface(E, H, Slist, Vlist, eta,
                         conv=SURFACE_GREEN_CONVERGENCE,
                         mix=SURFACE_BETHE_MIX,
-                        max_iter=SURFACE_MAX_ITER_BETHE):
+                        max_iter=SURFACE_MAX_ITER_BETHE, sig0=None):
     """Surface self-energies: re-relax only the 6 in-plane directions on top
     of the bulk solution (surfGBethe.py:1032-1108); the 3 downward
-    out-of-plane slots keep their bulk values.  Returns (9, 9, 9)."""
-    sig_bulk = bethe_sigma_k(E, H, Slist, Vlist, eta, conv, mix, max_iter)
+    out-of-plane slots keep their bulk values.  Returns (9, 9, 9).
+
+    With sig0, the bulk fixed point warm-starts from a previous energy's
+    solution; also returns the converged bulk state for chaining."""
+    sig_bulk = bethe_sigma_k(E, H, Slist, Vlist, eta, conv, mix, max_iter,
+                             sig0=sig0)
     sig_surf0 = sig_bulk[:9]
     cdt = sig_surf0.dtype
     A = (E - 1j * eta) * jnp.eye(DIM, dtype=cdt) - H
@@ -142,6 +153,8 @@ def bethe_sigma_surface(E, H, Slist, Vlist, eta,
 
     _, _, sig, _ = lax.while_loop(cond, body,
                                   (0, jnp.inf, sig_surf0, sig_surf0))
+    if sig0 is not None:
+        return sig, sig_bulk
     return sig
 
 
@@ -500,6 +513,24 @@ class BetheSelfEnergy(_CompatMixin):
                              _HashableArray(self.Xi))
         return fn, self.params()
 
+    def _warm_init(self):
+        return tuple(
+            np.broadcast_to(-1j * np.eye(DIM, dtype=np.complex64),
+                            (NN, DIM, DIM)).copy()
+            for _ in self.g_list)
+
+    def total_apply_warm(self):
+        """(fn(params, E, state) -> (Sigma, state'), params, init_state)."""
+        fn = _bethe_total_warm_fn(self._static_key(),
+                                  _HashableArray(self.Xi))
+        return fn, self.params(), self._warm_init()
+
+    def contacts_warm_apply(self):
+        """(fn(params, E, state) -> (sigs_tuple, state'), params, init)."""
+        fn = _bethe_contacts_warm_fn(self._static_key(),
+                                     _HashableArray(self.Xi))
+        return fn, self.params(), self._warm_init()
+
     def contact_apply(self, i):
         i = i % len(self.g_list)
         fn = _bethe_contact_fn(self._static_key(),
@@ -569,5 +600,76 @@ def _bethe_total_fn(static_key, Xi_h):
         for i in range(1, n_contacts):
             tot = tot + _bethe_contact_fn(static_key, Xi_h, i)(params, E)
         return tot
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _bethe_embed_fn(static_key, Xi_h, i: int):
+    """Embedding of precomputed surface sigmas into the device matrix."""
+    inds, nind, N, spin, orthogonal = static_key
+    Xi = jnp.asarray(Xi_h.arr)
+
+    def fn(sig_surf):
+        sig = jnp.zeros((N, N), dtype=sig_surf.dtype)
+        for n_inds, f_inds in zip(nind[i], inds[i]):
+            sig_atom = jnp.sum(sig_surf[:9], axis=0)
+            for k in n_inds:
+                if k < 9:
+                    sig_atom = sig_atom - sig_surf[k]
+            ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
+            sig = sig.at[ix].set(sig_atom)
+        if orthogonal:
+            sig = Xi @ sig @ Xi
+        if spin in ("u", "ro"):
+            sig = jnp.kron(jnp.eye(2), sig)
+        elif spin == "g":
+            sig = jnp.kron(sig, jnp.eye(2))
+        return sig
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _bethe_contacts_warm_fn(static_key, Xi_h):
+    """Warm-started per-contact sigmas: fn(params, E, state) ->
+    (sigs_tuple, state').  One fixed-point solve per contact per energy
+    (the cold path re-solves per sigma_tot/gamma1/gamma2 request)."""
+    n_contacts = len(static_key[0])
+
+    def fn(params, E, state):
+        sigs = []
+        new_state = []
+        for i in range(n_contacts):
+            p = params["contacts"][i]
+            sig_surf, sig_bulk = bethe_sigma_surface(
+                E, p["H"], p["S"], p["V"], p["eta"], sig0=state[i])
+            new_state.append(sig_bulk)
+            sigs.append(_bethe_embed_fn(static_key, Xi_h, i)(sig_surf))
+        return tuple(sigs), tuple(new_state)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _bethe_total_warm_fn(static_key, Xi_h):
+    """Warm-started total-sigma: fn(params, E, state) -> (Sigma, state').
+
+    state = per-contact bulk sigma_k stacks; each evaluation starts the
+    bulk fixed point from the previous energy's solution (SURVEY.md section 7.4
+    item 2: previous-point initialization along the grid within a lane)."""
+    n_contacts = len(static_key[0])
+
+    def fn(params, E, state):
+        tot = None
+        new_state = []
+        for i in range(n_contacts):
+            p = params["contacts"][i]
+            sig_surf, sig_bulk = bethe_sigma_surface(
+                E, p["H"], p["S"], p["V"], p["eta"], sig0=state[i])
+            new_state.append(sig_bulk)
+            emb = _bethe_embed_fn(static_key, Xi_h, i)(sig_surf)
+            tot = emb if tot is None else tot + emb
+        return tot, tuple(new_state)
 
     return fn

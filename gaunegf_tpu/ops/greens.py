@@ -232,6 +232,71 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
     return engine
 
 
+def _point_transmission_pre(E, H, S, sigs, exec_cfg):
+    """Transmission from precomputed per-contact sigmas (warm path)."""
+    sig_tot = sigs[0]
+    for s in sigs[1:]:
+        sig_tot = sig_tot + s
+    Gr = _gr_point(E, H, S, sig_tot, exec_cfg)
+    Ga = jnp.conj(Gr).T
+    s1, s2 = sigs[0], sigs[-1]
+    gamma1 = 1j * (s1 - jnp.conj(s1).T)
+    gamma2 = 1j * (s2 - jnp.conj(s2).T)
+    return jnp.real(jnp.trace(gamma1 @ Gr @ gamma2 @ Ga))
+
+
+@lru_cache(maxsize=None)
+def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
+                             mesh: Optional[Mesh]):
+    """Warm-started T(E) sweep: the provider's fixed-point state is carried
+    across chunks per lane (previous-energy initialization along the sorted
+    grid within a shard, SURVEY.md section 7.4 item 2), and each energy's contact
+    sigmas are solved once and reused for Sigma_tot and both Gammas."""
+
+    def device_body(params, H, S, E, state0):
+        chunk = E.shape[-1]
+        state_lanes = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (chunk,) + x.shape), state0)
+
+        def scan_fn(state, Eb):
+            sigs, state_new = jax.vmap(
+                lambda e, st: warm_fn(params, e, st))(Eb, state)
+            vals = jax.vmap(
+                lambda e, sg: _point_transmission_pre(e, H, S, sg,
+                                                      exec_cfg))(Eb, sigs)
+            return state_new, vals
+
+        _, out = lax.scan(scan_fn, state_lanes, E)
+        return out
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, E_s, state0_s):
+            params, H, S, E, state0 = merge_tree(
+                (params_s, H_s, S_s, E_s, state0_s))
+            return split_traced(
+                device_body(params, H, S, E[0], state0)[None])
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, state0_s):
+        def per_device(params_s, H_s, S_s, E_s, state0_s):
+            params, H, S, E, state0 = merge_tree(
+                (params_s, H_s, S_s, E_s, state0_s))
+            return split_traced(
+                device_body(params, H, S, E[0], state0)[None])
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P()),
+            out_specs=P(ENERGY_AXIS),
+        )(params_s, H_s, S_s, E_s, state0_s)
+
+    return engine
+
+
 def _cdw_add(s, x):
     """Complex double-word accumulate (TwoSum per component)."""
     s_hi, s_lo = s
@@ -385,6 +450,30 @@ def _unlayout(vals, n):
     return flat[:n]
 
 
+def _layout_lane_major(E, mesh: Optional[Mesh], chunk: int):
+    """Warm-start layout: each lane owns a CONTIGUOUS energy segment, so
+    successive chunks continue the same lane's grid (previous-point
+    initialization stays local)."""
+    E = np.asarray(E)
+    n_dev = 1 if mesh is None else mesh.shape[ENERGY_AXIS]
+    n = E.size
+    per = n_dev * chunk
+    n_pad = (-n) % per
+    E_pad = np.concatenate([E, np.full(n_pad, E.flat[-1], dtype=E.dtype)])
+    n_chunks = E_pad.size // per
+    # (d, c, j) = E[(d*chunk + j)*n_chunks + c]
+    E_lay = E_pad.reshape(n_dev, chunk, n_chunks).transpose(0, 2, 1)
+    return E_lay, n, n_pad
+
+
+def _unlayout_lane_major(vals, n):
+    vals = np.asarray(vals)
+    nd, nc, ch = vals.shape[:3]
+    flat = vals.transpose(0, 2, 1, *range(3, vals.ndim)).reshape(
+        (nd * ch * nc,) + vals.shape[3:])
+    return flat[:n]
+
+
 def _cdtype(exec_cfg):
     # x64 runtimes (CPU goldens / strict runs) use complex128; TPU runtimes
     # use complex64 with optional iterative refinement ('mixed').
@@ -507,6 +596,17 @@ class EnergyEngine:
 
     def transmission(self, E):
         """T(E) over the grid (restricted channel)."""
+        warm = getattr(self.provider, "contacts_warm_apply", None)
+        if warm is not None and self.exec_cfg.warm_start and not self.high:
+            wfn, params, init = warm()
+            eng = _build_trans_engine_warm(wfn, self.exec_cfg, self.mesh)
+            E_lay, n, _ = _layout_lane_major(
+                np.asarray(E, dtype=np.complex128), self.mesh,
+                self.exec_cfg.energy_chunk)
+            E_s = split_tree(E_lay.astype(self.cdtype), self.cdtype)
+            out = eng(self._params_split(params), self.H_s, self.S_s, E_s,
+                      split_tree(init, self.cdtype))
+            return _unlayout_lane_major(merge_host(out), n).real
         fn, params = self.provider.total_apply()
         g1, _ = self.provider.contact_apply(0)
         g2, _ = self.provider.contact_apply(-1)

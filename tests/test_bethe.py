@@ -164,3 +164,50 @@ def test_bethe_fermi_shift():
     assert np.allclose(g.H, H_before + 1.5 * np.eye(9))
     assert np.allclose(g.Vlist, V_before + 1.5 * g.Slist)
     assert g.fermi == 1.5
+
+
+def test_warm_start_transmission_matches_cold():
+    """Warm-started Bethe sweeps (previous-energy fixed-point init along
+    each lane's contiguous segment) agree with cold starts."""
+    import dataclasses
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.ops.greens import EnergyEngine
+
+    p = _au_params()
+    nvecs = GOLD["nn_vecs"]
+    Slist = np.stack([sk.bond_matrix(p.overlap, d) for d in nvecs])
+    Vlist = np.stack([sk.bond_matrix(p.hopping, d) for d in nvecs])
+
+    # build a minimal BetheSelfEnergy-like provider via the full class
+    import os
+    import gaunegf_tpu
+    from gaunegf_tpu.models.bethe import BetheGeometry, BetheSelfEnergy
+    d = 2.88
+    u1 = np.array([1.0, 0, 0]) * d
+    u2 = np.array([0.5, np.sqrt(3) / 2, 0]) * d
+    top = [np.zeros(3), u1, u2]
+    second = [np.array([0.5, 0.5 / np.sqrt(3), -np.sqrt(2 / 3)]) * d
+              + m * u1 + n_ * u2 for m in (-1, 0, 1) for n_ in (-1, 0, 1)]
+    coords = np.stack(top + second + [np.array([1.0, 0.6, -12.0])])
+    orb_atoms = []
+    for atom in range(1, len(coords) + 1):
+        orb_atoms += [atom] * (9 if atom <= 12 else 1)
+    geom = BetheGeometry(coords, np.asarray(orb_atoms), None)
+    n_orb = 12 * 9 + 1
+    F = np.zeros((n_orb, n_orb))
+    F[-1, -1] = -8.0
+    F[0, -1] = F[-1, 0] = -0.5
+    lat = os.path.join(os.path.dirname(gaunegf_tpu.__file__), "data",
+                       "demo.bethe")
+    prov = BetheSelfEnergy(F, np.eye(n_orb), [[1, 2, 3]], geom,
+                           lat_file=lat, eta=1e-5, fermi=0.0, verbose=False)
+    E = np.linspace(-10, -6, 12)
+    warm = EnergyEngine(F, np.eye(n_orb), prov,
+                        ExecutionConfig(energy_chunk=4, warm_start=True))
+    cold = EnergyEngine(F, np.eye(n_orb), prov,
+                        ExecutionConfig(energy_chunk=4, warm_start=False))
+    Tw = warm.transmission(E)
+    Tc = cold.transmission(E)
+    # both paths stop at conv=1e-5 of the same fixed point from different
+    # initializations; agreement scales with |T| (up to ~8 channels here)
+    assert np.max(np.abs(Tw - Tc)) < 1e-4
