@@ -110,7 +110,10 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
                 jnp.max(jnp.abs(sig_old)), 1e-30)
             return (count + 1, diff, sig, sig_old)
 
-    _, _, sig, _ = lax.while_loop(cond, body, (0, jnp.inf, sig0, sig0))
+    # tie the convergence metric's initial value to sig0 so its
+    # varying-ness matches inside shard_map (warm state is sharded)
+    diff0 = jnp.inf + 0.0 * jnp.real(jnp.sum(sig0))
+    _, _, sig, _ = lax.while_loop(cond, body, (0, diff0, sig0, sig0))
     return sig
 
 
@@ -151,8 +154,9 @@ def bethe_sigma_surface(E, H, Slist, Vlist, eta,
             jnp.max(jnp.abs(sig_old)), 1e-30)
         return (count + 1, diff, sig, sig_old)
 
+    diff0 = jnp.inf + 0.0 * jnp.real(jnp.sum(sig_surf0))
     _, _, sig, _ = lax.while_loop(cond, body,
-                                  (0, jnp.inf, sig_surf0, sig_surf0))
+                                  (0, diff0, sig_surf0, sig_surf0))
     if sig0 is not None:
         return sig, sig_bulk
     return sig

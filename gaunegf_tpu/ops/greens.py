@@ -297,6 +297,78 @@ def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
     return engine
 
 
+@lru_cache(maxsize=None)
+def _build_sum_engine_warm(kind: str, warm_fn, exec_cfg: ExecutionConfig,
+                           mesh: Optional[Mesh], contact: Optional[int]):
+    """Warm-started weighted sums (gr / gless) for providers with
+    contacts_warm_apply: per-lane fixed-point state carried across chunks,
+    one solve per energy shared by Sigma_tot and Gamma."""
+
+    def point(e, w, sigs, H, S):
+        sig_tot = sigs[0]
+        for s in sigs[1:]:
+            sig_tot = sig_tot + s
+        if kind == "gr":
+            return (w * _gr_point(e, H, S, sig_tot, exec_cfg)).astype(H.dtype)
+        sig_c = sigs[contact % len(sigs)] if contact is not None else sig_tot
+        Gr = _gr_point(e, H, S, sig_tot, exec_cfg)
+        Ga = jnp.conj(Gr).T
+        gamma = (1j * (sig_c - jnp.conj(sig_c).T)).astype(H.dtype)
+        return (w * (Gr @ gamma @ Ga)).astype(H.dtype)
+
+    def device_body(params, H, S, E, w, state0, varying=False):
+        chunk = E.shape[-1]
+        state_lanes = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (chunk,) + x.shape), state0)
+        N = H.shape[-1]
+        init_acc = (jnp.zeros((N, N), H.dtype), jnp.zeros((N, N), H.dtype))
+        if varying:
+            init_acc = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init_acc)
+            state_lanes = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), state_lanes)
+
+        def scan_fn(carry, inputs):
+            acc, state = carry
+            Eb, wb = inputs
+            sigs, state_new = jax.vmap(
+                lambda e, st: warm_fn(params, e, st))(Eb, state)
+            vals = jax.vmap(
+                lambda e, ww, sg: point(e, ww, sg, H, S))(Eb, wb, sigs)
+            return (_kahan_add(acc, jnp.sum(vals, axis=0)), state_new), None
+
+        (acc, _), _ = lax.scan(scan_fn, (init_acc, state_lanes), (E, w))
+        return acc[0] + acc[1]
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, E_s, w_s, state0_s):
+            params, H, S, E, w, state0 = merge_tree(
+                (params_s, H_s, S_s, E_s, w_s, state0_s))
+            return split_traced(device_body(params, H, S, E[0], w[0],
+                                            state0))
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, w_s, state0_s):
+        def per_device(params_s, H_s, S_s, E_s, w_s, state0_s):
+            params, H, S, E, w, state0 = merge_tree(
+                (params_s, H_s, S_s, E_s, w_s, state0_s))
+            out = device_body(params, H, S, E[0], w[0], state0,
+                              varying=True)
+            return split_traced(lax.psum(out, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS), P()),
+            out_specs=P(),
+        )(params_s, H_s, S_s, E_s, w_s, state0_s)
+
+    return engine
+
+
 def _cdw_add(s, x):
     """Complex double-word accumulate (TwoSum per component)."""
     s_hi, s_lo = s
@@ -450,16 +522,18 @@ def _unlayout(vals, n):
     return flat[:n]
 
 
-def _layout_lane_major(E, mesh: Optional[Mesh], chunk: int):
+def _layout_lane_major(E, mesh: Optional[Mesh], chunk: int, fill=None):
     """Warm-start layout: each lane owns a CONTIGUOUS energy segment, so
     successive chunks continue the same lane's grid (previous-point
-    initialization stays local)."""
+    initialization stays local).  fill: padding value (defaults to the last
+    node; use 0 for weights so padding contributes nothing)."""
     E = np.asarray(E)
     n_dev = 1 if mesh is None else mesh.shape[ENERGY_AXIS]
     n = E.size
     per = n_dev * chunk
     n_pad = (-n) % per
-    E_pad = np.concatenate([E, np.full(n_pad, E.flat[-1], dtype=E.dtype)])
+    fill_val = E.flat[-1] if fill is None else fill
+    E_pad = np.concatenate([E, np.full(n_pad, fill_val, dtype=E.dtype)])
     n_chunks = E_pad.size // per
     # (d, c, j) = E[(d*chunk + j)*n_chunks + c]
     E_lay = E_pad.reshape(n_dev, chunk, n_chunks).transpose(0, 2, 1)
@@ -535,11 +609,39 @@ class EnergyEngine:
             f"chunk={self.exec_cfg.energy_chunk} devices={n_dev} "
             f"precision={self.exec_cfg.precision}")
 
+    def _cast_state(self, init):
+        import jax.tree_util as jtu
+        return jtu.tree_map(lambda x: np.asarray(x).astype(self.cdtype),
+                            init)
+
+    def _warm_sum(self, kind, E, w, contact=None):
+        wfn, params, init = self.provider.contacts_warm_apply()
+        init = self._cast_state(init)
+        eng = _build_sum_engine_warm(kind, wfn, self.exec_cfg, self.mesh,
+                                     contact)
+        E_lay, _, _ = _layout_lane_major(
+            np.asarray(E, dtype=np.complex128), self.mesh,
+            self.exec_cfg.energy_chunk)
+        w_lay, _, _ = _layout_lane_major(
+            np.asarray(w, dtype=np.complex128), self.mesh,
+            self.exec_cfg.energy_chunk, fill=0.0)
+        out = eng(self._params_split(params), self.H_s, self.S_s,
+                  split_tree(E_lay.astype(self.cdtype), self.cdtype),
+                  split_tree(w_lay.astype(self.cdtype), self.cdtype),
+                  split_tree(init, self.cdtype))
+        return merge_host(out).astype(np.complex128)
+
+    def _use_warm(self):
+        return (getattr(self.provider, "contacts_warm_apply", None)
+                is not None and self.exec_cfg.warm_start and not self.high)
+
     def gr_sum(self, E, w):
         """sum_k w_k G(E_k); parity with integrate.GrInt."""
         from gaunegf_tpu.utils.logging import perf_span
-        fn, params = self.provider.total_apply()
         self._log_dispatch("gr_sum", np.size(E))
+        if self._use_warm():
+            return self._warm_sum("gr", E, w)
+        fn, params = self.provider.total_apply()
         if self.high:
             eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
                                        self.exec_cfg, self.mesh)
@@ -578,6 +680,8 @@ class EnergyEngine:
 
     def gless_sum(self, E, w, contact: Optional[int] = None):
         """sum_k w_k [G Gamma_i G^+](E_k); parity with integrate.GrLessInt."""
+        if self._use_warm():
+            return self._warm_sum("gless", E, w, contact)
         fn, params = self.provider.total_apply()
         cfn = None
         if contact is not None:
@@ -599,6 +703,7 @@ class EnergyEngine:
         warm = getattr(self.provider, "contacts_warm_apply", None)
         if warm is not None and self.exec_cfg.warm_start and not self.high:
             wfn, params, init = warm()
+            init = self._cast_state(init)
             eng = _build_trans_engine_warm(wfn, self.exec_cfg, self.mesh)
             E_lay, n, _ = _layout_lane_major(
                 np.asarray(E, dtype=np.complex128), self.mesh,

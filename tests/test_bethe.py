@@ -211,3 +211,48 @@ def test_warm_start_transmission_matches_cold():
     # both paths stop at conv=1e-5 of the same fixed point from different
     # initializations; agreement scales with |T| (up to ~8 channels here)
     assert np.max(np.abs(Tw - Tc)) < 1e-4
+
+
+def test_warm_start_density_matches_cold():
+    """Warm-started contour density equals cold to fixed-point tolerance,
+    serial and sharded (zero-weight padding must not contribute)."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu import density as dens
+    from gaunegf_tpu.parallel.mesh import energy_mesh
+    import os
+    import gaunegf_tpu
+    from gaunegf_tpu.models.bethe import BetheGeometry, BetheSelfEnergy
+
+    d = 2.88
+    u1 = np.array([1.0, 0, 0]) * d
+    u2 = np.array([0.5, np.sqrt(3) / 2, 0]) * d
+    top = [np.zeros(3), u1, u2]
+    second = [np.array([0.5, 0.5 / np.sqrt(3), -np.sqrt(2 / 3)]) * d
+              + m * u1 + n_ * u2 for m in (-1, 0, 1) for n_ in (-1, 0, 1)]
+    coords = np.stack(top + second + [np.array([1.0, 0.6, -12.0])])
+    orb_atoms = []
+    for atom in range(1, len(coords) + 1):
+        orb_atoms += [atom] * (9 if atom <= 12 else 1)
+    geom = BetheGeometry(coords, np.asarray(orb_atoms), None)
+    n_orb = 12 * 9 + 1
+    F = np.zeros((n_orb, n_orb))
+    F[-1, -1] = -8.0
+    F[0, -1] = F[-1, 0] = -0.5
+    lat = os.path.join(os.path.dirname(gaunegf_tpu.__file__), "data",
+                       "demo.bethe")
+    prov = BetheSelfEnergy(F, np.eye(n_orb), [[1, 2, 3]], geom,
+                           lat_file=lat, eta=1e-5, fermi=0.0, verbose=False)
+    # 13 points: exercises padding in the lane-major layout
+    Pw = dens.density_complex_n(F, np.eye(n_orb), prov, -12.0, -7.0, 13,
+                                exec_cfg=ExecutionConfig(
+                                    energy_chunk=4, warm_start=True))
+    Pc = dens.density_complex_n(F, np.eye(n_orb), prov, -12.0, -7.0, 13,
+                                exec_cfg=ExecutionConfig(
+                                    energy_chunk=4, warm_start=False))
+    assert np.max(np.abs(Pw - Pc)) < 1e-5
+    # sharded warm == serial warm
+    Pw8 = dens.density_complex_n(F, np.eye(n_orb), prov, -12.0, -7.0, 13,
+                                 exec_cfg=ExecutionConfig(
+                                     energy_chunk=4, warm_start=True),
+                                 mesh=energy_mesh())
+    assert np.max(np.abs(Pw8 - Pw)) < 1e-5
