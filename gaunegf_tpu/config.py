@@ -92,8 +92,11 @@ class SCFConfig:
 @dataclass(frozen=True)
 class ExecutionConfig:
     """TPU execution policy: precision, chunking and sharding."""
-    # 'fast'   : f32/complex64 blocked LU, no refinement
-    # 'mixed'  : f32 blocked LU + iterative refinement (default on TPU)
+    # 'fast'   : f32/complex64 blocked LU, no refinement (~1e-5)
+    # 'mixed'  : f32 blocked LU + iterative refinement (default on TPU, ~2e-6)
+    # 'high'   : double-word (two-float) end to end (~7e-8)
+    # 'exact'  : 'high' + a final Newton step with error-free Ozaki-sliced
+    #            residual matmuls (~1e-12: f64-class from the f32 MXU)
     # 'strict' : complex128 LAPACK path (CPU) / x64 (where supported)
     precision: str = "mixed"
     refine_steps: int = 1   # Newton refinement squares the error: one step

@@ -77,11 +77,13 @@ def _assemble_A_dw(E_dw, H_dw, S_dw, sigma):
 
 def _point_gr_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
                           _unused, exec_cfg):
-    """'high' tier: w * G(E) as a double-word (hi, lo) pair."""
+    """'high'/'exact' tiers: w * G(E) as a double-word (hi, lo) pair."""
     E_hi, _ = E_dw
     sigma = sig_tot_fn(params, E_hi).astype(H_dw[0].dtype)
     A_hi, A_lo = _assemble_A_dw(E_dw, H_dw, S_dw, sigma)
+    exact = 1 if exec_cfg.precision == "exact" else 0
     X_hi, X_lo = zl.zinv_dw(A_hi, A_lo, steps=exec_cfg.refine_steps + 1,
+                            exact_steps=exact,
                             bs=exec_cfg.lu_block,
                             panel_impl=exec_cfg.lu_panel)
     w_hi, w_lo = w_dw
@@ -568,7 +570,7 @@ class EnergyEngine:
         self.provider = provider
         self.exec_cfg = exec_cfg
         self.mesh = mesh
-        self.high = exec_cfg.precision == "high"
+        self.high = exec_cfg.precision in ("high", "exact")
         self.cdtype = np.complex64 if self.high else _cdtype(exec_cfg)
         if self.high:
             self.H_s = self._dw_split(H)

@@ -469,6 +469,109 @@ def matmul_hp(a, b):
     return re + 1j * im
 
 
+# ---------------------------------------------------------------------------
+# Error-free sliced matmul (Ozaki scheme) for the 'exact' precision tier
+# ---------------------------------------------------------------------------
+
+def _exp_ceil(x_absmax):
+    """Smallest integer e with |x| <= 2**e, from the f32 exponent field.
+
+    Exact integer bit manipulation -- no log2 rounding concerns."""
+    bits = lax.bitcast_convert_type(x_absmax, jnp.uint32)
+    e = (bits >> np.uint32(23)).astype(jnp.int32) - 127 + 1
+    return jnp.clip(e, -100, 100)
+
+
+def _pow2(e):
+    """Exact 2**e for integer e in [-126, 127] via exponent-field assembly."""
+    bits = ((e + 127).astype(jnp.uint32)) << np.uint32(23)
+    return lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _ozaki_slices(x, axis, s_bits, n_slices):
+    """Split x (f32) into n_slices arrays whose elements are integer
+    multiples of per-row (or per-column) power-of-two scales, each with at
+    most ``s_bits`` significant bits, plus a remainder.
+
+    Alignment is along ``axis`` (the contraction axis): every element in a
+    row of A / column of B shares the slice scales, so products of slice i
+    of A with slice j of B are integer multiples of a common power of two
+    and their K-term dot products accumulate EXACTLY in f32 provided
+    2*s_bits + ceil(log2 K) <= 24.
+    """
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    e = _exp_ceil(amax)
+    slices = []
+    rem = x
+    for k in range(n_slices):
+        # slice k holds bits [k*s, (k+1)*s) below the row exponent e:
+        # adding sigma = 2^(e - s*(k+1) + 23) rounds rem to multiples of
+        # 2^(e - s*(k+1)), an integer of <= s_bits (+1 for round-up) bits.
+        sigma = _pow2(e - s_bits * (k + 1) + 23)
+        hi = (rem + sigma) - sigma
+        slices.append(hi)
+        rem = rem - hi
+    return slices, rem
+
+
+def matmul_ozaki_real(a, b, *, s_bits=None, n_slices=4):
+    """Error-free f32 matmul: returns double-word (hi, lo) with
+    hi + lo = a @ b up to ~2^-47 of the row/column dynamic-range scale.
+
+    Ozaki scheme (Ozaki et al., Numer. Algorithms 59, 2012): slice both
+    operands into exponent-aligned pieces small enough that every pairwise
+    slice product accumulates exactly on the MXU in f32, then combine the
+    exact partial products with TwoSum double-word accumulation.  The
+    leftover remainders (below 2^-24 of each row/column scale) contribute
+    through two ordinary f32 matmuls, keeping the overall error ~1e-13 for
+    O(1) operands.  Cost: n_slices^2 + 2 f32 matmuls.
+    """
+    K = a.shape[-1]
+    if s_bits is None:
+        # exact accumulation condition: 2*s + ceil(log2 K) <= 24 (one bit
+        # of slack for the round-to-nearest slice overflow case)
+        s_bits = max(1, (23 - int(np.ceil(np.log2(max(K, 2))))) // 2)
+        n_slices = int(np.ceil(24 / s_bits)) + 1
+    sa, ra = _ozaki_slices(a, -1, s_bits, n_slices)
+    sb, rb = _ozaki_slices(b, -2, s_bits, n_slices)
+    hi = jnp.zeros(a.shape[:-1] + b.shape[-1:], jnp.float32)
+    lo = jnp.zeros_like(hi)
+    # accumulate exact products in decreasing-magnitude order (i + j)
+    for t in range(2 * n_slices - 1):
+        for i in range(n_slices):
+            j = t - i
+            if 0 <= j < n_slices:
+                p = jnp.matmul(sa[i], sb[j], precision=_HI)
+                hi, e = two_sum(hi, p)
+                lo = lo + e
+    # remainder cross terms (~2^-24 relative): plain f32 is plenty
+    corr = jnp.matmul(ra, b, precision=_HI) \
+        + jnp.matmul(a - ra, rb, precision=_HI)
+    hi, e = two_sum(hi, corr)
+    lo = lo + e
+    return hi, lo
+
+
+def zmatmul_exact(a, b):
+    """Complex error-free matmul: double-word (hi, lo) complex pair with
+    hi + lo ~= a @ b to ~1e-13 absolute (for O(1) operands).
+
+    Used by the 'exact' precision tier's final Newton residual, where the
+    double-float path's f32-accumulation floor (~1e-7) would otherwise cap
+    the attainable inverse accuracy."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    rr = matmul_ozaki_real(ar, br)
+    ii = matmul_ozaki_real(ai, bi)
+    ri = matmul_ozaki_real(ar, bi)
+    ir = matmul_ozaki_real(ai, br)
+    re_h, e1 = two_sum(rr[0], -ii[0])
+    re_l = rr[1] - ii[1] + e1
+    im_h, e2 = two_sum(ri[0], ir[0])
+    im_l = ri[1] + ir[1] + e2
+    return re_h + 1j * im_h, re_l + 1j * im_l
+
+
 def two_sum(a, b):
     """Knuth TwoSum: exact error of a floating-point addition (per part)."""
     t = a + b
@@ -520,34 +623,55 @@ def dw_from(x):
     return x, jnp.zeros_like(x)
 
 
-def zinv_dw(A_hi, A_lo, *, steps: int = 2, bs: int | None = None,
+def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
+            bs: int | None = None,
             panel_impl: str = "virtual", method: str | None = None):
     """Double-word inverse: X_hi + X_lo ~= (A_hi + A_lo)^-1 to ~1e-9.
 
     A is carried as an exact two-float split (A = A_hi + A_lo with A_hi the
     f32 rounding of the f64 operator).  The complex64 blocked LU gives X0;
-    Newton steps refine against the *double-word* operator with Karatsuba
-    double-float residual matmuls, and the correction is folded in with
-    TwoSum so X keeps ~1e-9 information despite f32 storage.  This is the
-    'high' precision tier: on-TPU densities beyond the f32 representation
-    floor (complexio ships hi/lo pairs separately).
+    Newton steps refine against the *double-word* operator with double-float
+    residual matmuls, and the correction is folded in with TwoSum so X keeps
+    ~1e-9 information despite f32 storage.  This is the 'high' precision
+    tier: on-TPU densities beyond the f32 representation floor (complexio
+    ships hi/lo pairs separately).
+
+    exact_steps > 0 appends final Newton steps whose residual is evaluated
+    with error-free Ozaki-sliced matmuls (zmatmul_exact), removing the
+    double-float path's f32-accumulation floor: the 'exact' precision tier,
+    ~1e-12 forward error -- f64-class accuracy from an f32-only MXU.
     """
     N = A_hi.shape[-1]
     eye = jnp.eye(N, dtype=A_hi.dtype)
     X_hi = zinv(A_hi, method=method, bs=bs, panel_impl=panel_impl)
     X_lo = jnp.zeros_like(X_hi)
+
+    def _update(X_hi, X_lo, R_hi, R_lo):
+        ok = jnp.max(jnp.abs(R_hi)) < 0.5   # near-singular safeguard
+        # D = X R in double-word: X_hi R_hi needs double-float care (its
+        # rounding is the floor once R is exact), the rest is tiny.
+        D_hi = matmul_hp(X_hi, R_hi)
+        D_lo = _mm(X_lo, R_hi) + _mm(X_hi, R_lo)
+        D_hi = jnp.where(ok, D_hi, 0.0)
+        D_lo = jnp.where(ok, D_lo, 0.0)
+        tr, er = two_sum(jnp.real(X_hi), jnp.real(D_hi))
+        ti, ei = two_sum(jnp.imag(X_hi), jnp.imag(D_hi))
+        return tr + 1j * ti, X_lo + D_lo + (er + 1j * ei)
+
     for _ in range(steps):
         # R = I - A_hi X_hi - (A_hi X_lo + A_lo X_hi); the leading product
         # in double-float precision, small cross terms in plain f32
         R = (eye - matmul_hp(A_hi, X_hi)) \
             - (_mm(A_hi, X_lo) + _mm(A_lo, X_hi))
-        ok = jnp.max(jnp.abs(R)) < 0.5      # near-singular safeguard
-        D = jnp.where(ok, _mm(X_hi, R), 0.0)
-        # X += D with TwoSum on both components
-        tr, er = two_sum(jnp.real(X_hi), jnp.real(D))
-        ti, ei = two_sum(jnp.imag(X_hi), jnp.imag(D))
-        X_hi = tr + 1j * ti
-        X_lo = X_lo + (er + 1j * ei)
+        X_hi, X_lo = _update(X_hi, X_lo, R, jnp.zeros_like(R))
+    for _ in range(exact_steps):
+        # error-free residual: every term double-word, leading product via
+        # Ozaki slicing (exact on the MXU)
+        P_hi, P_lo = zmatmul_exact(A_hi, X_hi)
+        cross = _mm(A_hi, X_lo) + _mm(A_lo, X_hi) + _mm(A_lo, X_lo)
+        R_hi, e = ctwo_sum(eye - P_hi, -cross)
+        R_lo = -P_lo + e
+        X_hi, X_lo = _update(X_hi, X_lo, R_hi, R_lo)
     return X_hi, X_lo
 
 

@@ -156,3 +156,73 @@ def test_high_tier_engine(rng):
     out = eng.gr_sum(E, w)
     rel = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
     assert rel < 1e-6
+
+
+def test_matmul_ozaki_error_free(rng):
+    """Ozaki-sliced matmul: exact partial products -> ~2^-47 relative
+    accuracy, seven orders beyond the plain f32 accumulation floor."""
+    for K in (64, 512):
+        a = rng.standard_normal((K, K)).astype(np.float32)
+        b = rng.standard_normal((K, K)).astype(np.float32)
+        # wild row/column scales stress the exponent alignment
+        a *= np.exp2(rng.integers(-8, 8, (K, 1))).astype(np.float32)
+        b *= np.exp2(rng.integers(-8, 8, (1, K))).astype(np.float32)
+        hi, lo = zl.matmul_ozaki_real(jnp.asarray(a), jnp.asarray(b))
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        scale = (np.abs(a).astype(np.float64)
+                 @ np.abs(b).astype(np.float64)).max()
+        assert np.abs(got - ref).max() / scale < 1e-13
+
+
+def test_zmatmul_exact_complex(rng):
+    K = 256
+    a = (rng.standard_normal((K, K))
+         + 1j * rng.standard_normal((K, K))).astype(np.complex64)
+    b = (rng.standard_normal((K, K))
+         + 1j * rng.standard_normal((K, K))).astype(np.complex64)
+    hi, lo = zl.zmatmul_exact(jnp.asarray(a), jnp.asarray(b))
+    got = np.asarray(hi, np.complex128) + np.asarray(lo, np.complex128)
+    ref = a.astype(np.complex128) @ b.astype(np.complex128)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_zinv_dw_exact_tier(rng):
+    """'exact' tier: an Ozaki-residual Newton step removes the double-word
+    path's f32-accumulation floor -> ~1e-11 forward error."""
+    n = 96
+    A64 = _random_negf_matrix(rng, n, eta=0.1)
+    hi = A64.astype(np.complex64)
+    lo = (A64 - hi.astype(np.complex128)).astype(np.complex64)
+    X_hi, X_lo = zl.zinv_dw(jnp.asarray(hi), jnp.asarray(lo), steps=1,
+                            exact_steps=1, method="blocked")
+    X = np.asarray(X_hi).astype(np.complex128) \
+        + np.asarray(X_lo).astype(np.complex128)
+    X_ref = np.linalg.inv(A64)
+    rel = np.max(np.abs(X - X_ref)) / np.max(np.abs(X_ref))
+    assert rel < 1e-10
+
+
+def test_exact_tier_engine(rng):
+    """'exact' precision engine: density sums at f64-class accuracy."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.ops.greens import EnergyEngine
+    n = 64
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1)) \
+        + np.diag(0.2 * rng.standard_normal(n))
+    S = np.eye(n)
+    g = ConstantSelfEnergy(H, S, [np.arange(6), np.arange(n - 6, n)],
+                           sig1=-0.1j)
+    E = np.linspace(-2, 2, 12)
+    w = rng.random(12)
+    st = np.asarray(g.sigmaTot(0.0)).astype(np.complex128)
+    ref = sum(ww * np.linalg.inv(e * S - H - st) for e, ww in zip(E, w))
+    eng = EnergyEngine(H, S, g, ExecutionConfig(precision="exact",
+                                                energy_chunk=4))
+    out = eng.gr_sum(E, w)
+    rel = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
+    # floor: Sigma enters the operator single-word (its c64 representation
+    # rounding ~6e-9 propagates through the inverse); the solver itself is
+    # at ~1e-11 (see test_zinv_dw_exact_tier)
+    assert rel < 1e-8
