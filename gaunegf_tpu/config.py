@@ -116,6 +116,18 @@ class ExecutionConfig:
     # lane's contiguous grid segment (providers exposing
     # contacts_warm_apply, e.g. Bethe lattices)
     warm_start: bool = True
+    # Newton-Schulz continuation: track G(E) along each lane's contiguous
+    # grid segment by quadratic inverse iteration from the neighbouring
+    # energy (pure MXU matmuls) instead of a fresh LU factorization, with
+    # a residual-gated batched-LU fallback (first point of each segment,
+    # resonances, coarse grids).  Pays off on dense sorted sweeps where
+    # |dE| * ||S G|| << 1; the fallback keeps coarse/contour grids correct
+    # at ~30% overhead.  Off by default.
+    continuation: bool = False
+    # plain Newton-Schulz iterations per continuation step (0 = auto:
+    # 2 for 'mixed' -- the double-float polish squares once more -- and
+    # 3 for 'fast')
+    chain_steps: int = 0
 
 
 def replace(cfg, **kwargs):

@@ -371,6 +371,113 @@ def _build_sum_engine_warm(kind: str, warm_fn, exec_cfg: ExecutionConfig,
     return engine
 
 
+# Residual gates for the continuation engine: `r` is max|I - A X| BEFORE
+# the final plain Newton update, so the post-update error is ~r^2 ('fast')
+# or ~r^4 after the double-float polish squares once more ('mixed').
+_CHAIN_GATE_FAST = 5e-3     # r^2 < 2.5e-5 ~ the complex64 LU floor
+_CHAIN_GATE_MIXED = 3e-2    # r^4 < 8e-7 < the polish floor
+
+
+@lru_cache(maxsize=None)
+def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
+                            mesh: Optional[Mesh]):
+    """Weighted G(E) sums by Newton-Schulz continuation along each lane.
+
+    The blocked LU is sequential-latency bound (the pivoted panel loops),
+    leaving the MXU mostly idle; on a dense sorted grid the neighbouring
+    energy's inverse is an excellent Newton seed (error |dE|*||S G||), so
+    most energies need only 2-3 quadratically-converging inverse
+    iterations -- pure batched matmuls.  A per-step residual gate falls
+    back to the batched LU (lax.cond, scalar predicate) for the first
+    point of each lane segment, near resonances where ||G|| blows up, and
+    on NaNs (NaN fails the gate by construction).
+    """
+    mixed = exec_cfg.precision == "mixed"
+    k_steps = exec_cfg.chain_steps or (2 if mixed else 3)
+    gate = _CHAIN_GATE_MIXED if mixed else _CHAIN_GATE_FAST
+    _mm = zl._mm
+
+    def assemble(params, e, H, S):
+        sig = sig_tot_fn(params, e)
+        return (e * S - H - sig).astype(H.dtype)
+
+    def newton(A, X0):
+        eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+        X, r = X0, None
+        for i in range(k_steps):
+            Y = _mm(A, X)
+            if i == k_steps - 1:
+                r = jnp.max(jnp.abs(Y - eye))
+            X = 2.0 * X - _mm(X, Y)
+        return X, r
+
+    def lu(A):
+        if mixed:
+            return zl.zinv_refined(A, steps=exec_cfg.refine_steps,
+                                   bs=exec_cfg.lu_block,
+                                   panel_impl=exec_cfg.lu_panel)
+        return zl.zinv(A, bs=exec_cfg.lu_block,
+                       panel_impl=exec_cfg.lu_panel)
+
+    def polish(A, X):
+        eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+        R = eye - zl.matmul_hp(A, X)
+        ok = jnp.max(jnp.abs(R)) < 0.5
+        return jnp.where(ok, X + _mm(X, R), X)
+
+    def device_body(params, H, S, E, w, varying=False):
+        N = H.shape[-1]
+        dt = H.dtype
+        lanes = E.shape[-1]
+        init = ((jnp.zeros((N, N), dt), jnp.zeros((N, N), dt)),
+                jnp.zeros((lanes, N, N), dt), jnp.array(False))
+        if varying:
+            init = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+
+        def scan_fn(carry, inputs):
+            acc, X_prev, valid = carry
+            Eb, wb = inputs
+            A = jax.vmap(lambda e: assemble(params, e, H, S))(Eb)
+            Xn, r = jax.vmap(newton)(A, X_prev)
+            ok = valid & (jnp.max(r) < gate)
+            X = lax.cond(ok, lambda a, x: x, lambda a, x: jax.vmap(lu)(a),
+                         A, Xn)
+            if mixed:
+                X = jax.vmap(polish)(A, X)
+            contrib = jnp.sum(wb[:, None, None] * X, axis=0).astype(dt)
+            # every subsequent step has a valid seed; `ok | True` (not a
+            # fresh constant) keeps the carry's shard_map varying-ness
+            return (_kahan_add(acc, contrib), X, ok | True), None
+
+        (acc, _, _), _ = lax.scan(scan_fn, init, (E, w))
+        return acc[0] + acc[1]
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, E_s, w_s):
+            params, H, S, E, w = merge_tree((params_s, H_s, S_s, E_s, w_s))
+            return split_traced(device_body(params, H, S, E[0], w[0]))
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, w_s):
+        def per_device(params_s, H_s, S_s, E_s, w_s):
+            params, H, S, E, w = merge_tree((params_s, H_s, S_s, E_s, w_s))
+            out = device_body(params, H, S, E[0], w[0], varying=True)
+            return split_traced(lax.psum(out, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(),
+        )(params_s, H_s, S_s, E_s, w_s)
+
+    return engine
+
+
 def _cdw_add(s, x):
     """Complex double-word accumulate (TwoSum per component)."""
     s_hi, s_lo = s
@@ -644,6 +751,19 @@ class EnergyEngine:
         if self._use_warm():
             return self._warm_sum("gr", E, w)
         fn, params = self.provider.total_apply()
+        if self.exec_cfg.continuation and not self.high:
+            eng = _build_sum_engine_chain(fn, self.exec_cfg, self.mesh)
+            E_lay, _, _ = _layout_lane_major(
+                np.asarray(E, dtype=np.complex128), self.mesh,
+                self.exec_cfg.energy_chunk)
+            w_lay, _, _ = _layout_lane_major(
+                np.asarray(w, dtype=np.complex128), self.mesh,
+                self.exec_cfg.energy_chunk, fill=0.0)
+            with perf_span("gr_sum_chain", nE=np.size(E)):
+                out = eng(self._params_split(params), self.H_s, self.S_s,
+                          split_tree(E_lay.astype(self.cdtype), self.cdtype),
+                          split_tree(w_lay.astype(self.cdtype), self.cdtype))
+            return merge_host(out).astype(np.complex128)
         if self.high:
             eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
                                        self.exec_cfg, self.mesh)

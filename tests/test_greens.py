@@ -104,3 +104,44 @@ def test_dos_map():
     assert site.shape == (9, GOLD["gint_H"].shape[0])
     assert np.allclose(tot, site.sum(axis=1))
     assert np.all(tot > 0)
+
+
+def test_continuation_engine_matches_standard():
+    """Newton-Schulz continuation: dense grids track the LU path; coarse
+    grids trigger the residual-gated LU fallback and stay exact."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.ops.greens import EnergyEngine
+    from gaunegf_tpu.parallel.mesh import energy_mesh
+
+    rng = np.random.default_rng(0)
+    n = 60
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1)) \
+        + np.diag(0.2 * rng.standard_normal(n))
+    S = np.eye(n) + 0.02 * (lambda x: (x + x.T) / 2)(
+        rng.standard_normal((n, n)))
+    g = ConstantSelfEnergy(H, S, [np.arange(6), np.arange(n - 6, n)],
+                           sig1=-0.05j)
+    E = np.linspace(-2.5, 2.5, 75) + 1e-3j
+    w = rng.random(75)
+    std = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=8)).gr_sum(E, w)
+    chn = EnergyEngine(
+        H, S, g, ExecutionConfig(energy_chunk=8, continuation=True),
+    ).gr_sum(E, w)
+    assert np.abs(chn - std).max() / np.abs(std).max() < 1e-10
+
+    # coarse grid: every step falls back to LU (dE * ||S G|| >> gate)
+    E2 = np.linspace(-3, 3, 9) + 1e-3j
+    w2 = rng.random(9)
+    std2 = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=4)).gr_sum(
+        E2, w2)
+    chn2 = EnergyEngine(
+        H, S, g, ExecutionConfig(energy_chunk=4, continuation=True),
+    ).gr_sum(E2, w2)
+    assert np.abs(chn2 - std2).max() / np.abs(std2).max() < 1e-10
+
+    # sharded == serial
+    chn8 = EnergyEngine(
+        H, S, g, ExecutionConfig(energy_chunk=8, continuation=True),
+        mesh=energy_mesh()).gr_sum(E, w)
+    assert np.abs(chn8 - chn).max() / np.abs(chn).max() < 1e-12
