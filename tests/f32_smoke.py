@@ -39,13 +39,21 @@ def main():
     w = np.ones(16)
     st = np.asarray(g.sigmaTot(0.0)).astype(np.complex128)
     ref = sum(ww * np.linalg.inv(e * S - H - st) for e, ww in zip(E, w))
-    for prec, tol in [("fast", 1e-4), ("mixed", 1e-4), ("high", 1e-5)]:
+    for prec, tol in [("fast", 1e-4), ("mixed", 1e-4), ("high", 1e-5),
+                      ("exact", 1e-7)]:
         eng = EnergyEngine(H, S, g, ExecutionConfig(precision=prec,
                                                     energy_chunk=8))
         out = eng.gr_sum(E, w)
         rel = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
         assert rel < tol, (prec, rel)
         print(f"gr_sum {prec}: rel {rel:.1e} OK")
+
+    # Newton-Schulz continuation (dense grid + LU-fallback coarse grid)
+    chn = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=8, continuation=True)).gr_sum(E, w)
+    rel = np.max(np.abs(chn - ref)) / np.max(np.abs(ref))
+    assert rel < 1e-4, rel
+    print(f"gr_sum continuation: rel {rel:.1e} OK")
 
     # chain contacts + transmission
     gc = Chain1DSelfEnergy(H, S, [np.arange(4), np.arange(4, 8)], eta=1e-3)
