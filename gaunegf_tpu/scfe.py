@@ -294,11 +294,23 @@ class NEGFE(NEGF):
                     tol=self.tol, T=self.T, exec_cfg=self.exec_cfg,
                     mesh=self.mesh)
 
-        # occupations in the orthogonalized Fock eigenbasis (scfE.py:448-455)
-        D, V = np.linalg.eigh(self.X @ self.F_eV @ self.X)
-        Xi = np.linalg.inv(self.X)
-        pshift = V.conj().T @ (Xi @ P @ Xi) @ V
+        # occupations in the orthogonalized Fock eigenbasis (scfE.py:448-455).
+        # This is a pure diagnostic (only the verbose SCF printout consumes
+        # it); at N=1000 the host-side eigh + complex matmuls cost more than
+        # the whole device-side density build, so skip it when not verbose.
         self.P = np.asarray(P).copy()
+        if not self.verbose:
+            return None, None
+        return self.level_occupations()
+
+    def level_occupations(self, P=None):
+        """(energies, occupations) of the current density in the
+        orthogonalized Fock eigenbasis (scfE.py:448-455)."""
+        P = self.P if P is None else P
+        D, V = np.linalg.eigh(self.X @ self.F_eV @ self.X)
+        if not hasattr(self, "_Xi"):
+            self._Xi = np.linalg.inv(self.X)   # X is fixed for the run
+        pshift = V.conj().T @ (self._Xi @ P @ self._Xi) @ V
         occ = np.diag(np.real(pshift))
         energies = np.real(D).flatten()
         order = np.argsort(energies)
