@@ -171,6 +171,27 @@ def density_real(F, S, g, Emin, mu, tol=ADAPTIVE_INTEGRATION_TOL,
 # Complex-contour equilibrium route
 # ---------------------------------------------------------------------------
 
+def density_eq_n(F, S, g, Eminf, Emin, mu, N1=100, N2=50, T=TEMPERATURE,
+                 T_real=0.0, method="ant", exec_cfg=_DEFAULT_EXEC, mesh=None,
+                 verbose=False):
+    """Full equilibrium density in ONE engine dispatch: the real-axis lower
+    segment [Eminf, Emin] (N2 Gauss-Legendre points) and the semicircular
+    contour [Emin, mu] (N1 points) are both Im(sum w G)/pi with opposite
+    sign conventions, so their grids concatenate into a single weighted
+    G(E) sum -- one compiled call, one device->host transfer per SCF cycle
+    instead of two (the transfer is the per-cycle bottleneck through
+    slow links)."""
+    E_r, w_r = quad.real_axis_grid(Eminf, Emin, N2, T_real)
+    z_c, w_c = quad.contour_grid(Emin, mu, N1, T, method)
+    E = np.concatenate([np.asarray(E_r, complex), np.asarray(z_c, complex)])
+    w = np.concatenate([-np.asarray(w_r, complex), np.asarray(w_c, complex)])
+    if verbose:
+        print(f"Fused integration: {N2} real-axis + {len(z_c)} contour "
+              "points...")
+    s = _engine(F, S, g, exec_cfg, mesh).gr_sum(E, w)
+    return (1 + 0j) * np.imag(s) / np.pi
+
+
 def density_complex_n(F, S, g, Emin, mu, N=100, T=TEMPERATURE, method="ant",
                       exec_cfg=_DEFAULT_EXEC, mesh=None, verbose=False):
     """Equilibrium density from the N-point semicircular contour."""

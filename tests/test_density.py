@@ -128,3 +128,23 @@ def test_density_finite_temperature_physical():
     # with Gamma = 0.1 the spectral weight near mu is small but nonzero;
     # traces should agree to ~1e-2 electrons
     assert abs(np.trace(P0 - PT).real) < 2e-2
+
+
+def test_density_eq_n_fuses_real_and_contour():
+    """density_eq_n (one engine dispatch) == density_real_n +
+    density_complex_n exactly (weights concatenate linearly)."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu import density as dens
+
+    n = 30
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(n - 4, n)],
+                           sig1=-0.1j)
+    cfg = ExecutionConfig(energy_chunk=8)
+    Pr = dens.density_real_n(H, S, g, -30.0, -6.0, 16, T=0, exec_cfg=cfg)
+    Pc = dens.density_complex_n(H, S, g, -6.0, 0.0, 32, T=0, exec_cfg=cfg)
+    Pf = dens.density_eq_n(H, S, g, -30.0, -6.0, 0.0, N1=32, N2=16, T=0,
+                           exec_cfg=cfg)
+    assert np.abs(Pf - (Pr + Pc)).max() < 1e-12
