@@ -28,7 +28,7 @@ def main():
 
     E = np.linspace(-3, 3, 400)
     T = tr.calculate_transmission(H, S, source, E, mesh=mesh,
-                                  checkpoint_file="tb_trans.npz")
+                                  checkpoint_file="/tmp/tb_trans.npz")
     dos_tot, dos_site = tr.calculate_dos(H, S, source, E, mesh=mesh)
     I = tr.calculate_current(H, S, source, fermi=0.0, qV=0.5, T=300.0,
                              dE=0.01, mesh=mesh)

@@ -60,6 +60,20 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _tie_vma(x, ref):
+    """Tie x's shard_map varying-ness to ref's (no-op outside shard_map).
+
+    Loop carries initialized from constants (masks, permutations) must not
+    mix unvaried inits with data-derived (varying) loop outputs under
+    shard_map's vma checking; adding a data-derived zero makes the init
+    inherit ref's manual axes without axis names leaking into this module.
+    """
+    z = jnp.real(ref).ravel()[0] * 0
+    if x.dtype == jnp.bool_:
+        return x ^ (z != 0)
+    return x + z.astype(x.dtype)
+
+
 def supports_lapack_complex() -> bool:
     """True when the backend has a working complex LU (CPU/GPU LAPACK)."""
     return jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
@@ -238,7 +252,8 @@ def _factor_panel(panel, perm0, unroll: int = PANEL_UNROLL):
             panel, perm = eliminate(j0 + u, panel, perm)
         return panel, perm
 
-    return lax.fori_loop(0, bs // unroll, body, (panel, perm0))
+    return lax.fori_loop(0, bs // unroll, body,
+                         (panel, _tie_vma(perm0, panel)))
 
 
 def _factor_panel_virtual(panel, unroll: int = PANEL_UNROLL):
@@ -288,7 +303,8 @@ def _factor_panel_virtual(panel, unroll: int = PANEL_UNROLL):
             pt, avail, pivrows = eliminate(j0 + u_, pt, avail, pivrows)
         return pt, avail, pivrows
 
-    init = (pt, jnp.ones((m,), bool), jnp.zeros((bs,), jnp.int32))
+    init = (pt, _tie_vma(jnp.ones((m,), bool), pt),
+            _tie_vma(jnp.zeros((bs,), jnp.int32), pt))
     pt, avail, pivrows = lax.fori_loop(0, bs // unroll, body, init)
 
     # compose the permutation: pivot rows first (in elimination order),

@@ -226,3 +226,37 @@ def test_exact_tier_engine(rng):
     # rounding ~6e-9 propagates through the inverse); the solver itself is
     # at ~1e-11 (see test_zinv_dw_exact_tier)
     assert rel < 1e-8
+
+
+def test_blocked_solve_under_shard_map(rng, monkeypatch):
+    """The blocked kernel must trace under shard_map (vma: constant-seeded
+    loop carries vs data-derived outputs).  CPU auto-picks LAPACK, so this
+    forces the blocked path -- the combination every TPU mesh run uses."""
+    from gaunegf_tpu import transport as tr
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.ops.greens import EnergyEngine
+    from gaunegf_tpu.parallel.mesh import energy_mesh
+
+    monkeypatch.setattr(zl, "supports_lapack_complex", lambda: False)
+    n = 48
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    nc = 4
+    sig = np.zeros((n, n), complex)
+    sig[np.ix_(range(nc), range(nc))] = -0.1j * np.eye(nc)
+    sig2 = np.zeros((n, n), complex)
+    sig2[np.ix_(range(n - nc, n), range(n - nc, n))] = -0.1j * np.eye(nc)
+    mesh = energy_mesh()
+    E = np.linspace(-3, 3, 32)
+    T = tr.calculate_transmission(H, S, tr.SigmaSource(sig, sig2), E,
+                                  mesh=mesh)
+    T_ref = tr.calculate_transmission(H, S, tr.SigmaSource(sig, sig2), E)
+    assert np.abs(T - T_ref).max() < 1e-8
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(n - 4, n)],
+                           sig1=-0.1j)
+    for panel in ("virtual", "xla"):
+        eng = EnergyEngine(H, S, g, ExecutionConfig(
+            precision="mixed", energy_chunk=8, lu_panel=panel), mesh=mesh)
+        out = eng.gr_sum(E, np.ones(E.size))
+        assert np.isfinite(out).all()
