@@ -110,10 +110,15 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
                 jnp.max(jnp.abs(sig_old)), 1e-30)
             return (count + 1, diff, sig, sig_old)
 
-    # tie the convergence metric's initial value to sig0 so its
-    # varying-ness matches inside shard_map (warm state is sharded)
-    diff0 = jnp.inf + 0.0 * jnp.real(jnp.sum(sig0))
-    _, _, sig, _ = lax.while_loop(cond, body, (0, diff0, sig0, sig0))
+    # tie every constant-seeded carry (iteration count, convergence metric,
+    # cold-start sigma) to A -- which carries E's shard_map varying-ness --
+    # so the while carries match their data-derived outputs under shard_map
+    # (see zlinalg._tie_vma)
+    sig0 = zl._tie_vma(sig0, A)
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A) \
+        + 0.0 * jnp.real(jnp.sum(sig0))
+    count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A)
+    _, _, sig, _ = lax.while_loop(cond, body, (count0, diff0, sig0, sig0))
     return sig
 
 
@@ -154,9 +159,12 @@ def bethe_sigma_surface(E, H, Slist, Vlist, eta,
             jnp.max(jnp.abs(sig_old)), 1e-30)
         return (count + 1, diff, sig, sig_old)
 
-    diff0 = jnp.inf + 0.0 * jnp.real(jnp.sum(sig_surf0))
+    sig_surf0 = zl._tie_vma(sig_surf0, A)
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A) \
+        + 0.0 * jnp.real(jnp.sum(sig_surf0))
+    count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A)
     _, _, sig, _ = lax.while_loop(cond, body,
-                                  (0, diff0, sig_surf0, sig_surf0))
+                                  (count0, diff0, sig_surf0, sig_surf0))
     if sig0 is not None:
         return sig, sig_bulk
     return sig

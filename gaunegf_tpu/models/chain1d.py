@@ -72,8 +72,11 @@ def surface_g_sancho(A, B, conv=SURFACE_GREEN_CONVERGENCE, max_iter=64):
             jnp.max(jnp.abs(eps_s_new)), 1e-30)
         return (eps_s_new, eps_new, al_new, be_new, diff, count + 1)
 
+    # constant-seeded carries tied to A's shard_map varying-ness
     init = (A.astype(dt), A.astype(dt), B.astype(dt),
-            jnp.conj(B).T.astype(dt), jnp.inf, 0)
+            jnp.conj(B).T.astype(dt),
+            zl._tie_vma(jnp.asarray(jnp.inf), A),
+            zl._tie_vma(jnp.zeros((), jnp.int32), A))
     eps_s, *_ = lax.while_loop(cond, body, init)
     return _zinv(eps_s)
 
@@ -101,7 +104,9 @@ def surface_g_dyson(A, B, conv=SURFACE_GREEN_CONVERGENCE,
         g = g_new * relax + g * (1 - relax)
         return (count + 1, diff, g)
 
-    count, diff, g = lax.while_loop(cond, body, (0, jnp.inf, _zinv(A)))
+    count, diff, g = lax.while_loop(
+        cond, body, (zl._tie_vma(jnp.zeros((), jnp.int32), A),
+                     zl._tie_vma(jnp.asarray(jnp.inf), A), _zinv(A)))
     return g
 
 

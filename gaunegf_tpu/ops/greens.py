@@ -255,10 +255,13 @@ def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
     grid within a shard, SURVEY.md section 7.4 item 2), and each energy's contact
     sigmas are solved once and reused for Sigma_tot and both Gammas."""
 
-    def device_body(params, H, S, E, state0):
+    def device_body(params, H, S, E, state0, varying=False):
         chunk = E.shape[-1]
         state_lanes = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (chunk,) + x.shape), state0)
+        if varying:
+            state_lanes = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), state_lanes)
 
         def scan_fn(state, Eb):
             sigs, state_new = jax.vmap(
@@ -288,7 +291,8 @@ def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
             params, H, S, E, state0 = merge_tree(
                 (params_s, H_s, S_s, E_s, state0_s))
             return split_traced(
-                device_body(params, H, S, E[0], state0)[None])
+                device_body(params, H, S, E[0], state0,
+                            varying=True)[None])
 
         return shard_map(
             per_device, mesh=mesh,

@@ -260,3 +260,13 @@ def test_blocked_solve_under_shard_map(rng, monkeypatch):
             precision="mixed", energy_chunk=8, lu_panel=panel), mesh=mesh)
         out = eng.gr_sum(E, np.ones(E.size))
         assert np.isfinite(out).all()
+
+    # surface-GF fixed points (while carries) under the same combination
+    from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
+    for method in ("sancho", "dyson"):
+        gc = Chain1DSelfEnergy(H, S, [np.arange(4), np.arange(4, 8)],
+                               eta=1e-3, method=method)
+        eng = EnergyEngine(H, S, gc, ExecutionConfig(energy_chunk=8),
+                           mesh=mesh)
+        Tc = eng.transmission(E)
+        assert np.isfinite(Tc).all() and Tc.max() > 0.1
