@@ -140,8 +140,8 @@ def density_real_n(F, S, g, Emin, mu, N=100, T=TEMPERATURE,
     E, w = quad.real_axis_grid(Emin, mu, N, T)
     if verbose:
         print(f"Integrating {N} points along real axis...")
-    s = _engine(F, S, g, exec_cfg, mesh).gr_sum(E, w)
-    return (-1 + 0j) * np.imag(s) / np.pi
+    im = _engine(F, S, g, exec_cfg, mesh).gr_sum(E, w, epilog="im")
+    return (-1 + 0j) * im / np.pi
 
 
 def density_real(F, S, g, Emin, mu, tol=ADAPTIVE_INTEGRATION_TOL,
@@ -188,8 +188,8 @@ def density_eq_n(F, S, g, Eminf, Emin, mu, N1=100, N2=50, T=TEMPERATURE,
     if verbose:
         print(f"Fused integration: {N2} real-axis + {len(z_c)} contour "
               "points...")
-    s = _engine(F, S, g, exec_cfg, mesh).gr_sum(E, w)
-    return (1 + 0j) * np.imag(s) / np.pi
+    im = _engine(F, S, g, exec_cfg, mesh).gr_sum(E, w, epilog="im")
+    return (1 + 0j) * im / np.pi
 
 
 def density_complex_n(F, S, g, Emin, mu, N=100, T=TEMPERATURE, method="ant",
@@ -198,8 +198,8 @@ def density_complex_n(F, S, g, Emin, mu, N=100, T=TEMPERATURE, method="ant",
     z, w = quad.contour_grid(Emin, mu, N, T, method)
     if verbose:
         print(f"Complex integration over {len(z)} points...")
-    s = _engine(F, S, g, exec_cfg, mesh).gr_sum(z, w)
-    return (1 + 0j) * np.imag(s) / np.pi
+    im = _engine(F, S, g, exec_cfg, mesh).gr_sum(z, w, epilog="im")
+    return (1 + 0j) * im / np.pi
 
 
 def density_complex(F, S, g, Emin, mu, tol=ADAPTIVE_INTEGRATION_TOL,

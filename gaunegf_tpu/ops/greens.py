@@ -189,8 +189,14 @@ def _point_gr_diag(E, H, S, params, sig_tot_fn, exec_cfg):
 
 @lru_cache(maxsize=None)
 def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
-                      mesh: Optional[Mesh], extra=()):
-    """Jitted engine: split(params, H, S, E(nd,nc,ch), w) -> split((N, N))."""
+                      mesh: Optional[Mesh], extra=(), epilog=None):
+    """Jitted engine: split(params, H, S, E(nd,nc,ch), w) -> split((N, N)).
+
+    epilog='im' applies Im() on device before returning: retarded density
+    sums are real-valued after Im/pi, so this HALVES the device->host
+    transfer (one real array instead of a split complex pair) and the
+    cross-device psum bytes -- the transfer is the per-cycle bottleneck
+    through slow links (Im is linear, so Im-then-psum == psum-then-Im)."""
 
     def device_body(params, H, S, E, w, varying=False):
         def scan_fn(carry, inputs):
@@ -207,7 +213,8 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
             init = jax.tree_util.tree_map(
                 lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
         (s, c), _ = lax.scan(scan_fn, init, (E, w))
-        return s + c
+        out = s + c
+        return jnp.imag(out) if epilog == "im" else out
 
     if mesh is None:
         @jax.jit
@@ -748,12 +755,20 @@ class EnergyEngine:
         return (getattr(self.provider, "contacts_warm_apply", None)
                 is not None and self.exec_cfg.warm_start and not self.high)
 
-    def gr_sum(self, E, w):
-        """sum_k w_k G(E_k); parity with integrate.GrInt."""
+    def gr_sum(self, E, w, epilog=None):
+        """sum_k w_k G(E_k); parity with integrate.GrInt.
+
+        epilog='im': return Im(sum) as a real array, computed on device in
+        the standard engine (halved transfer; see _build_sum_engine) and on
+        the host for the warm / continuation / double-word paths."""
         from gaunegf_tpu.utils.logging import perf_span
         self._log_dispatch("gr_sum", np.size(E))
+
+        def _ep(out):
+            return np.imag(out) if epilog == "im" else out
+
         if self._use_warm():
-            return self._warm_sum("gr", E, w)
+            return _ep(self._warm_sum("gr", E, w))
         fn, params = self.provider.total_apply()
         if self.exec_cfg.continuation and not self.high:
             eng = _build_sum_engine_chain(fn, self.exec_cfg, self.mesh)
@@ -767,7 +782,7 @@ class EnergyEngine:
                 out = eng(self._params_split(params), self.H_s, self.S_s,
                           split_tree(E_lay.astype(self.cdtype), self.cdtype),
                           split_tree(w_lay.astype(self.cdtype), self.cdtype))
-            return merge_host(out).astype(np.complex128)
+            return _ep(merge_host(out).astype(np.complex128))
         if self.high:
             eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
                                        self.exec_cfg, self.mesh)
@@ -779,14 +794,16 @@ class EnergyEngine:
                 out = eng(self._params_split(params), self.H_s, self.S_s,
                           self._dw_split(E_lay), self._dw_split(w_lay))
             hi, lo = merge_host(out)
-            return hi.astype(np.complex128) + lo.astype(np.complex128)
+            return _ep(hi.astype(np.complex128) + lo.astype(np.complex128))
         eng = _build_sum_engine(_point_gr_weighted, fn, None,
-                                self.exec_cfg, self.mesh)
+                                self.exec_cfg, self.mesh, epilog=epilog)
         E_s, w_s, _ = self._prep(E, w)
         with perf_span("gr_sum", nE=np.size(E)):
             out = eng(self._params_split(params), self.H_s, self.S_s,
                       E_s, w_s)
-        return merge_host(out).astype(np.complex128)
+        out = merge_host(out)
+        return out.astype(np.float64) if epilog == "im" \
+            else out.astype(np.complex128)
 
     def _contact_inds(self, contact):
         """Static contact support for the low-rank path, or None."""
