@@ -60,7 +60,7 @@ def main():
     negfe.setVoltage(0.0, fermi=0.0)
     negfe.SCF(conv=1e-3, damping=0.02, max_cycles=50)
     print(f"Part 3 (300K): SCF conv {negfe.conv_level:.2e}")
-    negfe.saveMAT("nanowire_scf.mat")
+    negfe.saveMAT("/tmp/nanowire_scf.mat")
 
 
 if __name__ == "__main__":

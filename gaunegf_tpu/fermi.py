@@ -103,7 +103,7 @@ def calc_fermi(g, ne, Emin, Emax, fermi_guess=0.0, N1=100, N2=50,
         if verbose:
             print("DN:", dN, "Fermi:", fermi, "Bounds:", lo, hi)
         counter += 1
-    if abs(ne - n_curr) > tol and counter > max_cycles and verbose:
+    if abs(ne - n_curr) > tol and counter >= max_cycles:
         print(f"Warning: Fermi energy still not within tolerance! "
               f"Ef = {fermi:.2f} eV, N = {n_curr:.2f})")
     if verbose:

@@ -160,6 +160,11 @@ class NEGF:
                 raise ValueError("Sigma matrix dimension mismatch!")
         self.l_ind = l_ind
         self.r_ind = r_ind
+        # Spin-expanded values kept for subclasses (NEGFE builds a provider
+        # from them; passing the raw user input would re-trip the
+        # half-length case inside form_sigma).
+        self._sig1 = sig
+        self._sig2 = sig2
         self.sigma1 = form_sigma(l_ind, sig, self.nsto, self.S)
         self.sigma2 = form_sigma(r_ind, sig2, self.nsto, self.S)
         self.sigma12 = self.sigma1 + self.sigma2
@@ -331,6 +336,11 @@ class NEGF:
             counts.append(n_iter)
             electrons.append(self.nelec)
             self.conv_level = max(rmsdp, maxdp, abs(dE))
+            # Checkpoint BEFORE the exit checks (scf.py:781-795 saves then
+            # breaks) so *_Final.mat never promotes a stale density.
+            if self.conv_level < min_conv and checkpoint:
+                ckpt.save_density(checkpoint_file, self.P, self.conv_level)
+                min_conv = self.conv_level + 0.0
             if self.conv_level < conv:
                 if self.verbose:
                     print(f"Convergence achieved after {n_iter} iterations!")
@@ -339,9 +349,6 @@ class NEGF:
                 print("WARNING: Convergence criterion not met, "
                       "maxcycles reached!")
                 break
-            if self.conv_level < min_conv and checkpoint:
-                ckpt.save_density(checkpoint_file, self.P, self.conv_level)
-                min_conv = self.conv_level + 0.0
             n_iter += 1
 
         if self.conv_level < conv and checkpoint:

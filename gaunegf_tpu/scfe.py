@@ -83,7 +83,11 @@ class NEGFE(NEGF):
         """Constant-sigma contacts usable at finite T (scfE.py:152-181)."""
         super().setSigma(l_contact, r_contact, sig, sig2)
         inds = (self.l_ind, self.r_ind)
-        self.g = ConstantSelfEnergy(self.F_eV, self.S, inds, sig, sig2)
+        # Use the spin-expanded sigmas stored by the base class: a
+        # half-length vector sigma for 'u'/'ro'/'g' has already been
+        # kron-expanded there and would crash form_sigma if passed raw.
+        self.g = ConstantSelfEnergy(self.F_eV, self.S, inds,
+                                    self._sig1, self._sig2)
         self.setIntegralLimits()
         self.T = T
         return inds

@@ -107,6 +107,22 @@ def test_scf_checkpoint_roundtrip(tmp_path):
     assert os.path.exists(name + "_Final.mat")
 
 
+def test_final_checkpoint_holds_converged_density(tmp_path):
+    """*_Final.mat must contain the density the run converged to, not the
+    previous cycle's (ADVICE round 1: save must precede the break)."""
+    from gaunegf_tpu.io import checkpoint as ckpt
+    name = str(tmp_path / "fin")
+    be = make_backend(U=0.5)
+    negf = NEGF(be, name=name, verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    negf.SCF(conv=1e-6, damping=0.05, max_cycles=300, checkpoint=True)
+    assert negf.conv_level < 1e-6
+    P_final, conv = ckpt.load_density(name + "_Final.mat")
+    assert np.max(np.abs(P_final - negf.P)) < 1e-10
+    assert conv == pytest.approx(negf.conv_level)
+
+
 def test_save_mat_roundtrip(tmp_path):
     from gaunegf_tpu import transport as tr
     be = make_backend(U=0.0)
