@@ -139,6 +139,23 @@ class ConstantSelfEnergy(_CompatMixin):
         i = i % self.num_contacts()
         return _const_contact(i), self.params()
 
+    # --- double-word API (high/exact tiers) ---------------------------
+    # Constant sigmas are known exactly on the host, so the double-word
+    # split is exact: this removes the single-word-Sigma floor (~6e-8
+    # representation rounding) from the 'exact' tier (VERDICT r1 item 7).
+    def params_dw(self):
+        s = self._sigs.astype(np.complex128)
+        hi = s.astype(np.complex64)
+        lo = (s - hi.astype(np.complex128)).astype(np.complex64)
+        return {"sigs_hi": hi, "sigs_lo": lo}
+
+    def total_apply_dw(self):
+        return _const_total_dw, self.params_dw()
+
+    def contact_apply_dw(self, i: int):
+        i = i % self.num_contacts()
+        return _const_contact_dw(i), self.params_dw()
+
     def contact_inds(self, i=None):
         """Static contact support for the low-rank fast path."""
         if i is None:
@@ -161,4 +178,22 @@ from functools import lru_cache
 def _const_contact(i: int):
     def fn(params, E):
         return params["sigs"][i]
+    return fn
+
+
+def _const_total_dw(params, E):
+    from gaunegf_tpu.ops.zlinalg import ctwo_sum
+    hi = params["sigs_hi"]
+    lo = params["sigs_lo"]
+    h, l = hi[0], lo[0]
+    for i in range(1, hi.shape[0]):
+        h, e = ctwo_sum(h, hi[i])
+        l = l + lo[i] + e
+    return h, l
+
+
+@lru_cache(maxsize=None)
+def _const_contact_dw(i: int):
+    def fn(params, E):
+        return params["sigs_hi"][i], params["sigs_lo"][i]
     return fn

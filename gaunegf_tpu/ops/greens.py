@@ -60,36 +60,108 @@ def _gr_point(E, H, S, sigma, exec_cfg: ExecutionConfig):
     return zl.zinv(A, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel)
 
 
-def _assemble_A_dw(E_dw, H_dw, S_dw, sigma):
+def _assemble_A_dw(E_dw, H_dw, S_dw, sigma_dw):
     """Double-word operator A = E*S - H - Sigma: the E*S product and the
     additions carry their rounding errors into A_lo (TwoProd/TwoSum), so
     the operator is accurate to ~1e-12 despite f32 storage.  Sigma enters
-    single-word (its own evaluation is f32-limited)."""
+    as a (hi, lo) pair (zero lo for providers without a double-word
+    evaluation, whose own f32 floor then dominates)."""
     E_hi, E_lo = E_dw
     H_hi, H_lo = H_dw
     S_hi, S_lo = S_dw
+    sig_hi, sig_lo = sigma_dw
     p_hi, p_lo = zl.ctwo_prod(E_hi, S_hi)
     a1, e1 = zl.ctwo_sum(p_hi, -H_hi)
-    a2, e2 = zl.ctwo_sum(a1, -sigma)
-    A_lo = (p_lo + E_hi * S_lo + E_lo * S_hi - H_lo) + (e1 + e2)
+    a2, e2 = zl.ctwo_sum(a1, -sig_hi)
+    A_lo = (p_lo + E_hi * S_lo + E_lo * S_hi - H_lo - sig_lo) + (e1 + e2)
     return a2, A_lo
 
 
 def _point_gr_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
                           _unused, exec_cfg):
-    """'high'/'exact' tiers: w * G(E) as a double-word (hi, lo) pair."""
+    """'high'/'exact' tiers: w * G(E) as a double-word (hi, lo) pair.
+
+    sig_tot_fn returns a (hi, lo) sigma pair (see _dw_sig_fns)."""
     E_hi, _ = E_dw
-    sigma = sig_tot_fn(params, E_hi).astype(H_dw[0].dtype)
-    A_hi, A_lo = _assemble_A_dw(E_dw, H_dw, S_dw, sigma)
+    sigma_dw = _cast_dw(sig_tot_fn(params, E_hi), H_dw[0].dtype)
+    return _dw_scale(w_dw, _gr_dw(E_dw, H_dw, S_dw, sigma_dw, exec_cfg))
+
+
+def _cast_dw(x_dw, dtype):
+    return x_dw[0].astype(dtype), x_dw[1].astype(dtype)
+
+
+def _gamma_dw(sig_dw):
+    """Gamma = 1j (sigma - sigma^+) per double-word component (exact)."""
+    s_hi, s_lo = sig_dw
+    return (1j * (s_hi - jnp.conj(s_hi).T), 1j * (s_lo - jnp.conj(s_lo).T))
+
+
+def _gr_dw(E_dw, H_dw, S_dw, sigma_dw, exec_cfg):
+    """Double-word G(E) shared by the high/exact point kernels."""
+    A_hi, A_lo = _assemble_A_dw(E_dw, H_dw, S_dw, sigma_dw)
     exact = 1 if exec_cfg.precision == "exact" else 0
-    X_hi, X_lo = zl.zinv_dw(A_hi, A_lo, steps=exec_cfg.refine_steps + 1,
-                            exact_steps=exact,
-                            bs=exec_cfg.lu_block,
-                            panel_impl=exec_cfg.lu_panel)
+    return zl.zinv_dw(A_hi, A_lo, steps=exec_cfg.refine_steps + 1,
+                      exact_steps=exact, bs=exec_cfg.lu_block,
+                      panel_impl=exec_cfg.lu_panel)
+
+
+def _dw_scale(w_dw, X_dw):
+    """w * X in double-word (w scalar dw, X matrix dw)."""
     w_hi, w_lo = w_dw
+    X_hi, X_lo = X_dw
     c_hi, c_p = zl.ctwo_prod(w_hi, X_hi)
-    c_lo = c_p + w_hi * X_lo + w_lo * X_hi
-    return c_hi, c_lo
+    return c_hi, c_p + w_hi * X_lo + w_lo * X_hi
+
+
+def _point_gless_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
+                             sig_c_fn, exec_cfg):
+    """'high'/'exact' tiers: w * Gr Gamma_i Ga as a double-word pair.
+
+    Sigma and Gamma enter as double-word pairs (exact for providers with a
+    dw evaluation, zero-lo otherwise); the Gr/Ga products keep double-word
+    precision via zmatmul_dw (Ozaki-exact leading products on 'exact')."""
+    E_hi, _ = E_dw
+    dt = H_dw[0].dtype
+    sig_tot = _cast_dw(sig_tot_fn(params, E_hi), dt)
+    sig_c = (_cast_dw(sig_c_fn(params, E_hi), dt)
+             if sig_c_fn is not None else sig_tot)
+    exact = exec_cfg.precision == "exact"
+    G_hi, G_lo = _gr_dw(E_dw, H_dw, S_dw, sig_tot, exec_cfg)
+    Ga_dw = (jnp.conj(G_hi).T, jnp.conj(G_lo).T)
+    Y_dw = zl.zmatmul_dw((G_hi, G_lo), _gamma_dw(sig_c), exact=exact)
+    Z_dw = zl.zmatmul_dw(Y_dw, Ga_dw, exact=exact)
+    return _dw_scale(w_dw, Z_dw)
+
+
+def _point_transmission_dw(E_dw, H_dw, S_dw, params, sig_tot_fn, g1_fn,
+                           g2_fn, exec_cfg):
+    """T(E) = Re tr(G1 Gr G2 Ga) with double-word products and an exactly
+    compensated pairwise trace reduction; returns a (hi, lo) real pair."""
+    E_hi, _ = E_dw
+    dt = H_dw[0].dtype
+    sig_tot = _cast_dw(sig_tot_fn(params, E_hi), dt)
+    exact = exec_cfg.precision == "exact"
+    G_dw = _gr_dw(E_dw, H_dw, S_dw, sig_tot, exec_cfg)
+    Ga_dw = (jnp.conj(G_dw[0]).T, jnp.conj(G_dw[1]).T)
+    gamma1 = _gamma_dw(_cast_dw(g1_fn(params, E_hi), dt))
+    gamma2 = _gamma_dw(_cast_dw(g2_fn(params, E_hi), dt))
+    M1 = zl.zmatmul_dw(gamma1, G_dw, exact=exact)     # Gamma1 Gr
+    M2 = zl.zmatmul_dw(gamma2, Ga_dw, exact=exact)    # Gamma2 Ga
+    # tr(M1 M2) = sum_ij M1_ij * (M2^T)_ij, elementwise double-word
+    M2T = (M2[0].T, M2[1].T)
+    p_hi, p_e = zl.ctwo_prod(M1[0], M2T[0])
+    p_lo = p_e + M1[0] * M2T[1] + M1[1] * M2T[0]
+    t_hi, t_lo = zl.cdw_reduce(p_hi, p_lo)
+    return jnp.real(t_hi), jnp.real(t_lo)
+
+
+def _point_gr_diag_dw(E_dw, H_dw, S_dw, params, sig_tot_fn, exec_cfg):
+    """diag G(E) as a double-word pair (DOS building block)."""
+    E_hi, _ = E_dw
+    sigma_dw = _cast_dw(sig_tot_fn(params, E_hi), H_dw[0].dtype)
+    G_hi, G_lo = _gr_dw(E_dw, H_dw, S_dw, sigma_dw, exec_cfg)
+    return jnp.diagonal(G_hi), jnp.diagonal(G_lo)
 
 
 def _kahan_add(carry, x):
@@ -489,6 +561,16 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
     return engine
 
 
+@lru_cache(maxsize=None)
+def _dw_wrap(fn):
+    """Lift a single-word sigma fn to the (hi, lo) interface (zero lo):
+    the provider's own f32 evaluation floor then dominates the tier."""
+    def wrapped(params, E):
+        s = fn(params, E)
+        return s, jnp.zeros_like(s)
+    return wrapped
+
+
 def _cdw_add(s, x):
     """Complex double-word accumulate (TwoSum per component)."""
     s_hi, s_lo = s
@@ -522,9 +604,13 @@ def _build_sum_engine_dw(point_fn, sig_tot_fn, sig_c_fn,
             def red(i, s):
                 return _cdw_add(s, (his[i], los[i]))
 
-            chunk_sum = lax.fori_loop(0, his.shape[0], red,
-                                      (jnp.zeros((N, N), dt),
-                                       jnp.zeros((N, N), dt)))
+            init_red = (jnp.zeros((N, N), dt), jnp.zeros((N, N), dt))
+            if varying:
+                # tie the constant carry seed to the data's varying-ness
+                # (see CLAUDE.md: shard_map vma carries)
+                init_red = jax.tree_util.tree_map(
+                    lambda x: lax.pvary(x, (ENERGY_AXIS,)), init_red)
+            chunk_sum = lax.fori_loop(0, his.shape[0], red, init_red)
             return _cdw_add(carry, chunk_sum), None
 
         init = (jnp.zeros((N, N), dt), jnp.zeros((N, N), dt))
@@ -555,9 +641,20 @@ def _build_sum_engine_dw(point_fn, sig_tot_fn, sig_c_fn,
             w_dw = (w_dw[0][0], w_dw[1][0])
             s_hi, s_lo = device_body(params, H_dw, S_dw, E_dw, w_dw,
                                      varying=True)
-            # psum the parts separately; the lo parts absorb the error
-            return split_traced((lax.psum(s_hi, ENERGY_AXIS),
-                                 lax.psum(s_lo, ENERGY_AXIS)))
+            # a plain psum would round the hi parts in f32 (~eps * |sum|
+            # per hop, measured 2e-7 on an 8-way mesh): gather the pairs
+            # and combine with compensated double-word adds instead.  The
+            # combined value is replicated but vma-typed varying; a psum of
+            # the value masked to device 0 (zeros elsewhere) is EXACT in fp
+            # and yields the invariant type out_specs=P() requires.
+            g_hi = lax.all_gather(s_hi, ENERGY_AXIS)
+            g_lo = lax.all_gather(s_lo, ENERGY_AXIS)
+            acc = (g_hi[0], g_lo[0])
+            for i in range(1, mesh.shape[ENERGY_AXIS]):
+                acc = _cdw_add(acc, (g_hi[i], g_lo[i]))
+            pick = jnp.where(lax.axis_index(ENERGY_AXIS) == 0, 1.0, 0.0)
+            return split_traced((lax.psum(acc[0] * pick, ENERGY_AXIS),
+                                 lax.psum(acc[1] * pick, ENERGY_AXIS)))
 
         return shard_map(
             per_device, mesh=mesh,
@@ -600,6 +697,57 @@ def _build_map_engine(point_fn, fns, exec_cfg: ExecutionConfig,
         def per_device(params_s, H_s, S_s, E_s):
             params, H, S, E = merge_tree((params_s, H_s, S_s, E_s))
             return split_traced(device_body(params, H, S, E[0])[None])
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS)),
+            out_specs=P(ENERGY_AXIS),
+        )(params_s, H_s, S_s, E_s)
+
+    return engine
+
+
+@lru_cache(maxsize=None)
+def _build_map_engine_dw(point_fn, fns, exec_cfg: ExecutionConfig,
+                         mesh: Optional[Mesh]):
+    """'high'/'exact' per-energy map engine.
+
+    H/S/E arrive as double-word split pairs; the point kernel returns a
+    (hi, lo) pytree per energy which the host merges into f64."""
+
+    def device_body(params, H_dw, S_dw, E_dw):
+        def scan_fn(_, Eb_dw):
+            vals = jax.vmap(
+                lambda e_hi, e_lo: point_fn((e_hi, e_lo), H_dw, S_dw,
+                                            params, *fns, exec_cfg))(
+                                                Eb_dw[0], Eb_dw[1])
+            return None, vals
+
+        _, out = lax.scan(scan_fn, None, E_dw)
+        return out
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, E_s):
+            params, H_dw, S_dw, E_dw = merge_tree(
+                (params_s, H_s, S_s, E_s))
+            E_dw = (E_dw[0][0], E_dw[1][0])
+            out = device_body(params, H_dw, S_dw, E_dw)
+            return split_traced(jax.tree_util.tree_map(
+                lambda x: x[None], out))
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s):
+        def per_device(params_s, H_s, S_s, E_s):
+            params, H_dw, S_dw, E_dw = merge_tree(
+                (params_s, H_s, S_s, E_s))
+            E_dw = (E_dw[0][0], E_dw[1][0])
+            out = device_body(params, H_dw, S_dw, E_dw)
+            return split_traced(jax.tree_util.tree_map(
+                lambda x: x[None], out))
 
         return shard_map(
             per_device, mesh=mesh,
@@ -755,6 +903,23 @@ class EnergyEngine:
         return (getattr(self.provider, "contacts_warm_apply", None)
                 is not None and self.exec_cfg.warm_start and not self.high)
 
+    def _has_dw_sigma(self):
+        return (getattr(self.provider, "total_apply_dw", None) is not None
+                and getattr(self.provider, "contact_apply_dw", None)
+                is not None)
+
+    def _dw_total(self):
+        if self._has_dw_sigma():
+            return self.provider.total_apply_dw()
+        fn, params = self.provider.total_apply()
+        return _dw_wrap(fn), params
+
+    def _dw_contact(self, i):
+        if self._has_dw_sigma():
+            return self.provider.contact_apply_dw(i)
+        fn, params = self.provider.contact_apply(i)
+        return _dw_wrap(fn), params
+
     def gr_sum(self, E, w, epilog=None):
         """sum_k w_k G(E_k); parity with integrate.GrInt.
 
@@ -784,6 +949,7 @@ class EnergyEngine:
                           split_tree(w_lay.astype(self.cdtype), self.cdtype))
             return _ep(merge_host(out).astype(np.complex128))
         if self.high:
+            fn, params = self._dw_total()
             eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
                                        self.exec_cfg, self.mesh)
             E_lay, w_lay, _, _ = _layout(
@@ -830,6 +996,20 @@ class EnergyEngine:
         if contact is not None:
             cfn, params = self.provider.contact_apply(contact)
             fn, _ = self.provider.total_apply()
+        if self.high:
+            fn, params = self._dw_total()
+            if contact is not None:
+                cfn, params = self._dw_contact(contact)
+            eng = _build_sum_engine_dw(_point_gless_weighted_dw, fn, cfn,
+                                       self.exec_cfg, self.mesh)
+            E_lay, w_lay, _, _ = _layout(
+                np.asarray(E, dtype=np.complex128),
+                np.asarray(w, dtype=np.complex128),
+                self.mesh, self.exec_cfg.energy_chunk)
+            out = eng(self._params_split(params), self.H_s, self.S_s,
+                      self._dw_split(E_lay), self._dw_split(w_lay))
+            hi, lo = merge_host(out)
+            return hi.astype(np.complex128) + lo.astype(np.complex128)
         c = self._contact_inds(contact)
         if c is not None:
             eng = _build_sum_engine(_point_gless_weighted_lowrank, fn, cfn,
@@ -858,6 +1038,19 @@ class EnergyEngine:
         fn, params = self.provider.total_apply()
         g1, _ = self.provider.contact_apply(0)
         g2, _ = self.provider.contact_apply(-1)
+        if self.high:
+            fn, params = self._dw_total()
+            g1, _ = self._dw_contact(0)
+            g2, _ = self._dw_contact(-1)
+            eng = _build_map_engine_dw(_point_transmission_dw, (fn, g1, g2),
+                                       self.exec_cfg, self.mesh)
+            E_lay, _, n, _ = _layout(np.asarray(E, dtype=np.complex128),
+                                     None, self.mesh,
+                                     self.exec_cfg.energy_chunk)
+            hi, lo = merge_host(eng(self._params_split(params), self.H_s,
+                                    self.S_s, self._dw_split(E_lay)))
+            return _unlayout(hi.astype(np.float64)
+                             + lo.astype(np.float64), n)
         c1 = self._contact_inds(0)
         c2 = self._contact_inds(-1)
         if c1 is not None and c2 is not None:
@@ -884,6 +1077,17 @@ class EnergyEngine:
     def gr_diag(self, E):
         """diag G(E) over the grid (DOS building block)."""
         fn, params = self.provider.total_apply()
+        if self.high:
+            fn, params = self._dw_total()
+            eng = _build_map_engine_dw(_point_gr_diag_dw, (fn,),
+                                       self.exec_cfg, self.mesh)
+            E_lay, _, n, _ = _layout(np.asarray(E, dtype=np.complex128),
+                                     None, self.mesh,
+                                     self.exec_cfg.energy_chunk)
+            hi, lo = merge_host(eng(self._params_split(params), self.H_s,
+                                    self.S_s, self._dw_split(E_lay)))
+            return _unlayout(hi.astype(np.complex128)
+                             + lo.astype(np.complex128), n)
         eng = _build_map_engine(_point_gr_diag, (fn,),
                                 self.exec_cfg, self.mesh)
         E_s, _, n = self._prep(E, None)

@@ -588,6 +588,67 @@ def zmatmul_exact(a, b):
     return re_h + 1j * im_h, re_l + 1j * im_l
 
 
+def zmatmul_dwf(a, b):
+    """Complex matmul with double-word OUTPUT from double-float partials.
+
+    Same split-product scheme as matmul_hp but the (hi, lo) information is
+    kept instead of collapsed into one f32 value: hi + lo ~= a @ b down to
+    the f32-accumulation floor of each partial product (~sqrt(K)*eps).
+    Cheaper than zmatmul_exact (4x4 vs ~18x18 f32 matmuls); the 'high'
+    tier's product primitive.
+    """
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    rr_h, rr_l = _matmul_hp_real(ar, br)
+    ii_h, ii_l = _matmul_hp_real(ai, bi)
+    ri_h, ri_l = _matmul_hp_real(ar, bi)
+    ir_h, ir_l = _matmul_hp_real(ai, br)
+    re_h, e1 = two_sum(rr_h, -ii_h)
+    re_l = (rr_l - ii_l) + e1
+    im_h, e2 = two_sum(ri_h, ir_h)
+    im_l = (ri_l + ir_l) + e2
+    return re_h + 1j * im_h, re_l + 1j * im_l
+
+
+def zmatmul_dw(a_dw, b_dw, exact: bool = False):
+    """Double-word complex matmul: (a_hi+a_lo) @ (b_hi+b_lo) as (hi, lo).
+
+    The leading hi x hi product uses double-float partials ('high') or
+    error-free Ozaki slicing ('exact'); the cross terms are ~eps-relative
+    and accumulate in plain f32 (their own rounding is ~eps^2).
+    """
+    a_hi, a_lo = a_dw
+    b_hi, b_lo = b_dw
+    lead_hi, lead_lo = (zmatmul_exact(a_hi, b_hi) if exact
+                        else zmatmul_dwf(a_hi, b_hi))
+    cross = _mm(a_hi, b_lo) + _mm(a_lo, b_hi)
+    hi, e = ctwo_sum(lead_hi, cross)
+    return hi, lead_lo + e
+
+
+def cdw_reduce(x_hi, x_lo):
+    """Reduce complex (hi, lo) arrays to one double-word scalar.
+
+    Pairwise halving with ctwo_sum at every level: the summation error is
+    captured exactly into lo at each step, so the result is accurate to
+    ~eps^2 of the element scale regardless of element count (a plain f32
+    tree-sum would lose ~eps*log2(n)).  log2(n) vectorized passes.
+    """
+    h = x_hi.reshape(-1)
+    l = x_lo.reshape(-1)
+    n = h.shape[0]
+    m = 1 << max(0, (n - 1).bit_length())
+    if m != n:
+        h = jnp.concatenate([h, jnp.zeros(m - n, h.dtype)])
+        l = jnp.concatenate([l, jnp.zeros(m - n, l.dtype)])
+    while m > 1:
+        m //= 2
+        s, e = ctwo_sum(h[:m], h[m:2 * m])
+        h = s
+        l = l[:m] + l[m:2 * m] + e
+    return h[0], l[0]
+
+
 def two_sum(a, b):
     """Knuth TwoSum: exact error of a floating-point addition (per part)."""
     t = a + b

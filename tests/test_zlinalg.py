@@ -222,10 +222,9 @@ def test_exact_tier_engine(rng):
                                                 energy_chunk=4))
     out = eng.gr_sum(E, w)
     rel = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
-    # floor: Sigma enters the operator single-word (its c64 representation
-    # rounding ~6e-9 propagates through the inverse); the solver itself is
-    # at ~1e-11 (see test_zinv_dw_exact_tier)
-    assert rel < 1e-8
+    # round 2: the provider's double-word sigma evaluation removed the
+    # single-word-Sigma floor -- f64-class density sums from an f32 chip
+    assert rel < 1e-12
 
 
 def test_blocked_solve_under_shard_map(rng, monkeypatch):
