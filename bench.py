@@ -11,7 +11,11 @@ this host (jax CPU, complex128 vmapped jnp.linalg.solve exactly like
 gauNEGF/integrate.py:67-109's vmap branch): 5.0 points/s on the 1 available
 CPU core (see BASELINE.md for methodology and a 64-core extrapolation).
 
-Prints ONE JSON line.
+Prints ONE JSON line.  The primary value is the N=1000 mixed-precision
+density-sum throughput (median of 5 timed runs -- the tunnel adds ~15%
+per-call jitter that best-of-N under-reports and single runs over-report);
+"extra" carries the N=2000 north-star config and the low-rank T(E) sweep so
+per-round regressions anywhere on the hot surface are visible to the driver.
 """
 
 import json
@@ -24,46 +28,65 @@ import numpy as np
 # N=1000, complex128): see BASELINE.md.
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
-N = 1000
-N_E = 512           # long grid amortizes the tunnel's fixed ~1.2s D2H cost
-CHUNK = 64          # (device compute ~2 ms/point at N=1000; the axon
-WARMUP_E = N_E      # tunnel moves the 8 MB result at ~7 MB/s)
+
+def _median_rate(fn, n_points, repeats):
+    """Median points/s over `repeats` timed calls (one warm call first)."""
+    fn()                                  # compile + warm
+    rates = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        assert np.isfinite(out).all()
+        rates.append(n_points / dt)
+    return float(np.median(rates))
 
 
 def main():
-    import jax
-
     from gaunegf_tpu.config import ExecutionConfig
     from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
     from gaunegf_tpu.ops.greens import EnergyEngine
 
     rng = np.random.default_rng(0)
-    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1)) \
-        + np.diag(0.2 * rng.standard_normal(N))
-    S = np.eye(N)
-    g = ConstantSelfEnergy(H, S, [np.arange(8), np.arange(N - 8, N)],
-                           sig1=-0.1j)
-    eng = EnergyEngine(H, S, g, ExecutionConfig(
-        precision="mixed", energy_chunk=CHUNK, lu_block=128))
 
-    E = np.linspace(-2.0, 2.0, N_E)
-    w = np.ones(N_E)
-    # warmup / compile
-    eng.gr_sum(E[:WARMUP_E], np.ones(WARMUP_E))
-    # best of 3: the tunnel to the device adds jittery per-call latency
-    # (same executable; spread observed up to ~15%)
-    pts = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        out = eng.gr_sum(E, w)
-        dt = time.time() - t0
-        assert np.isfinite(out).all()
-        pts = max(pts, N_E / dt)
+    def system(N):
+        H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1)) \
+            + np.diag(0.2 * rng.standard_normal(N))
+        S = np.eye(N)
+        g = ConstantSelfEnergy(H, S, [np.arange(8), np.arange(N - 8, N)],
+                               sig1=-0.1j)
+        return H, S, g
+
+    # --- primary: N=1000 mixed-precision density sums ------------------
+    N, n_E = 1000, 512      # long grid amortizes the ~1.2 s tunnel D2H
+    H, S, g = system(N)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=64, lu_block=128))
+    E = np.linspace(-2.0, 2.0, n_E)
+    w = np.ones(n_E)
+    pts_1000 = _median_rate(lambda: eng.gr_sum(E, w), n_E, repeats=5)
+
+    # --- extra 1: N=2000 (the north-star junction size) ----------------
+    N2, n_E2 = 2000, 128
+    H2, S2, g2 = system(N2)
+    eng2 = EnergyEngine(H2, S2, g2, ExecutionConfig(
+        precision="mixed", energy_chunk=16, lu_block=128))
+    E2 = np.linspace(-2.0, 2.0, n_E2)
+    pts_2000 = _median_rate(lambda: eng2.gr_sum(E2, np.ones(n_E2)),
+                            n_E2, repeats=5)
+
+    # --- extra 2: low-rank T(E) sweep on the N=1000 junction -----------
+    pts_trans = _median_rate(lambda: eng.transmission(E), n_E, repeats=3)
+
     print(json.dumps({
         "metric": "energy points/sec, 1000-orbital G(E) solves (mixed precision)",
-        "value": round(pts, 2),
+        "value": round(pts_1000, 2),
         "unit": "points/s",
-        "vs_baseline": round(pts / CPU_BASELINE_PTS_PER_SEC, 2),
+        "vs_baseline": round(pts_1000 / CPU_BASELINE_PTS_PER_SEC, 2),
+        "extra": {
+            "n2000_mixed_pts_per_s": round(pts_2000, 2),
+            "transmission_lowrank_pts_per_s": round(pts_trans, 2),
+        },
     }))
 
 
