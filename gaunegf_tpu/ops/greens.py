@@ -40,7 +40,7 @@ from gaunegf_tpu.config import ExecutionConfig
 from gaunegf_tpu.ops import zlinalg as zl
 from gaunegf_tpu.ops.complexio import (
     merge_host, merge_tree, split_traced, split_tree)
-from gaunegf_tpu.parallel.mesh import ENERGY_AXIS
+from gaunegf_tpu.parallel.mesh import ENERGY_AXIS, MODEL_AXIS
 
 __all__ = [
     "weighted_gr_sum", "weighted_gless_sum",
@@ -255,6 +255,23 @@ def _point_gr_diag(E, H, S, params, sig_tot_fn, exec_cfg):
     return jnp.diagonal(_gr_point(E, H, S, sigma, exec_cfg))
 
 
+def _point_gr_weighted_cols(E, w, H, S, params, sig_tot_fn, n_shards,
+                            exec_cfg):
+    """w * G(E)[:, cols_of_this_m_rank]: the model-axis sharded point.
+
+    Runs inside shard_map over the ('e', 'm') mesh; each 'm' rank solves
+    and refines only its N/n_shards columns of the inverse (the LU
+    factorization is replicated -- see zlinalg.zinv_refined_cols)."""
+    sigma = sig_tot_fn(params, E)
+    A = (E * S - H - sigma).astype(H.dtype)
+    steps = exec_cfg.refine_steps \
+        if (exec_cfg.precision == "mixed" and A.dtype == jnp.complex64) else 0
+    X = zl.zinv_refined_cols(A, n_shards, steps=steps, axis_name=MODEL_AXIS,
+                             bs=exec_cfg.lu_block,
+                             panel_impl=exec_cfg.lu_panel)
+    return (w * X).astype(H.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Engine builders (cached on function identities + static config)
 # ---------------------------------------------------------------------------
@@ -308,6 +325,57 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
             per_device, mesh=mesh,
             in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
             out_specs=P(),
+        )(params_s, H_s, S_s, E_s, w_s)
+
+    return engine
+
+
+@lru_cache(maxsize=None)
+def _build_sum_engine_mp(sig_tot_fn, exec_cfg: ExecutionConfig, mesh: Mesh,
+                         epilog=None):
+    """Model-parallel gr_sum engine over an ('e', 'm') mesh.
+
+    Energies shard over 'e' as usual; within each energy the identity RHS
+    columns shard over 'm' (zlinalg.zinv_refined_cols), so the
+    solve/residual/correction flops divide across the model axis.  Each
+    rank accumulates its (N, N/m) column block; psum over 'e' reduces the
+    quadrature, and shard_map's out_specs P(None, 'm') reassembles the
+    full (N, N) sum from the column blocks -- no explicit gather of the
+    per-point inverses ever happens (only refinement's internal
+    all_gather, see zinv_refined_cols).
+    """
+    m_size = mesh.shape[MODEL_AXIS]
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, w_s):
+        def per_device(params_s, H_s, S_s, E_s, w_s):
+            params, H, S, E, w = merge_tree((params_s, H_s, S_s, E_s, w_s))
+            N = H.shape[-1]
+            dt = H.dtype
+
+            def scan_fn(carry, inputs):
+                Eb, wb = inputs
+                vals = jax.vmap(
+                    lambda e, ww: _point_gr_weighted_cols(
+                        e, ww, H, S, params, sig_tot_fn, m_size,
+                        exec_cfg))(Eb, wb)
+                return _kahan_add(carry, jnp.sum(vals, axis=0)), None
+
+            init = (jnp.zeros((N, N // m_size), dt),
+                    jnp.zeros((N, N // m_size), dt))
+            init = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)), init)
+            (s, c), _ = lax.scan(scan_fn, init, (E[0], w[0]))
+            out = s + c
+            if epilog == "im":
+                out = jnp.imag(out)
+            return split_traced(lax.psum(out, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(None, MODEL_AXIS),
         )(params_s, H_s, S_s, E_s, w_s)
 
     return engine
@@ -961,8 +1029,12 @@ class EnergyEngine:
                           self._dw_split(E_lay), self._dw_split(w_lay))
             hi, lo = merge_host(out)
             return _ep(hi.astype(np.complex128) + lo.astype(np.complex128))
-        eng = _build_sum_engine(_point_gr_weighted, fn, None,
-                                self.exec_cfg, self.mesh, epilog=epilog)
+        if self._model_shards() > 1:
+            eng = _build_sum_engine_mp(fn, self.exec_cfg, self.mesh,
+                                       epilog=epilog)
+        else:
+            eng = _build_sum_engine(_point_gr_weighted, fn, None,
+                                    self.exec_cfg, self.mesh, epilog=epilog)
         E_s, w_s, _ = self._prep(E, w)
         with perf_span("gr_sum", nE=np.size(E)):
             out = eng(self._params_split(params), self.H_s, self.S_s,
@@ -970,6 +1042,22 @@ class EnergyEngine:
         out = merge_host(out)
         return out.astype(np.float64) if epilog == "im" \
             else out.astype(np.complex128)
+
+    def _model_shards(self) -> int:
+        """Active 'm'-axis size for the column-sharded full-inverse path.
+
+        1 (replicated) unless the mesh has a >1 model axis AND the orbital
+        count divides it AND the precision tier supports column sharding
+        (fast/mixed; the dw tiers and warm/continuation engines run
+        replicated across 'm' -- correct, just not distributed)."""
+        if self.mesh is None or MODEL_AXIS not in self.mesh.shape:
+            return 1
+        m = self.mesh.shape[MODEL_AXIS]
+        N = (self.H_s[0] if self.high else self.H_s).re.shape[-1]
+        if (m == 1 or N % m or self.high or self.exec_cfg.continuation
+                or self._use_warm()):
+            return 1
+        return m
 
     def _contact_inds(self, contact):
         """Static contact support for the low-rank path, or None."""

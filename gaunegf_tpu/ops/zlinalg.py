@@ -46,9 +46,9 @@ import numpy as np
 from jax import lax
 
 __all__ = [
-    "zsolve", "zinv", "zinv_refined",
+    "zsolve", "zinv", "zinv_refined", "zinv_refined_cols",
     "inv", "solve", "eigh", "eig", "fractional_matrix_power",
-    "matmul_hp", "supports_lapack_complex",
+    "matmul_hp", "matmul_hp3", "supports_lapack_complex",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -316,6 +316,41 @@ def _factor_panel_virtual(panel, unroll: int = PANEL_UNROLL):
     return packed, perm
 
 
+PANEL_SPLIT_BASE = int(os.environ.get("GAUNEGF_PANEL_BASE", "32"))
+# sub-panel width at which the recursive split bottoms out
+
+
+def _factor_panel_split(panel, unroll: int = PANEL_UNROLL,
+                        base: int = PANEL_SPLIT_BASE):
+    """Recursively split panel factorization: rank-1 work on narrow strips.
+
+    The sequential elimination loop's VPU/bandwidth cost is proportional
+    to the width of the strip each rank-1 update touches.  Splitting the
+    (m, bs) panel into halves -- factor left, apply the pivots + a block
+    update (MXU matmul) to the right, factor right -- bottoms out in
+    ``base``-wide virtual-pivot strips, cutting the per-elimination touch
+    from bs columns to ``base`` while the deferred inter-strip updates run
+    as matmuls.  Same contract as _factor_panel: (packed rows in pivoted
+    order, perm).
+    """
+    m, bs = panel.shape
+    if bs <= base or bs % 2 or (bs // 2) % _TRI_BASE:
+        return _factor_panel_virtual(panel, unroll)
+    h = bs // 2
+    left, permL = _factor_panel_split(panel[:, :h], unroll, base)
+    right = panel[:, h:][permL, :]                 # pivots as one gather
+    L11 = jnp.tril(left[:h, :], -1) + jnp.eye(h, dtype=panel.dtype)
+    U12 = _mm(_tri_inv_fast(L11, lower=True, unit=True), right[:h, :])
+    low = right[h:, :] - _mm(left[h:, :], U12)     # deferred block update
+    br, permR = _factor_panel_split(low, unroll, base)
+    idx = jnp.concatenate(
+        [_tie_vma(jnp.arange(h, dtype=permR.dtype), panel), h + permR])
+    packed = jnp.concatenate(
+        [jnp.concatenate([left[:h, :], left[h:, :][permR, :]], axis=0),
+         jnp.concatenate([U12, br], axis=0)], axis=1)
+    return packed, permL[idx]
+
+
 # ---------------------------------------------------------------------------
 # Blocked solve: right-looking LU fused with forward substitution
 # ---------------------------------------------------------------------------
@@ -381,6 +416,8 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
             panel, perm = factor_panel_pallas(panel)
         elif panel_impl == "virtual":
             panel, perm = _factor_panel_virtual(panel)
+        elif panel_impl == "split":
+            panel, perm = _factor_panel_split(panel)
         else:
             perm0 = jnp.arange(m, dtype=jnp.int32)
             panel, perm = _factor_panel(panel, perm0)
@@ -460,6 +497,38 @@ def _matmul_hp_real(a, b):
     p3 = jnp.matmul(a_lo, b_hi, precision=_HI)
     p4 = jnp.matmul(a_lo, b_lo, precision=_HI)
     return p1, (p2 + p3) + p4
+
+
+def _matmul_hp_real3(a, b):
+    """Three-product double-float matmul: drops the a_lo @ b_lo term.
+
+    That term is ~2^-24 relative to the leading product -- far below the
+    mixed tier's ~2e-6 target -- so the residual path saves 1 of 4 matmul
+    dispatches per real product (the chip's matmul time is dispatch-count
+    bound at every precision; see BASELINE.md)."""
+    a_hi, a_lo = _split_hi(a)
+    b_hi, b_lo = _split_hi(b)
+    p1 = jnp.matmul(a_hi, b_hi, precision=_HI)
+    p2 = jnp.matmul(a_hi, b_lo, precision=_HI)
+    p3 = jnp.matmul(a_lo, b_hi, precision=_HI)
+    return p1, p2 + p3
+
+
+def matmul_hp3(a, b):
+    """Complex double-float matmul for ~1e-6-target residuals (12 vs 16
+    matmul dispatches; forward error gains ~6e-8 relative from the dropped
+    lo x lo terms, negligible at the mixed tier)."""
+    if a.dtype in (jnp.complex128, jnp.float64):
+        return jnp.matmul(a, b, precision=_HI)
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    rr_h, rr_l = _matmul_hp_real3(ar, br)
+    ii_h, ii_l = _matmul_hp_real3(ai, bi)
+    ri_h, ri_l = _matmul_hp_real3(ar, bi)
+    ir_h, ir_l = _matmul_hp_real3(ai, br)
+    re = (rr_h - ii_h) + (rr_l - ii_l)
+    im = (ri_h + ir_h) + (ri_l + ir_l)
+    return re + 1j * im
 
 
 def matmul_hp(a, b):
@@ -763,11 +832,45 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
     N = A.shape[-1]
     eye = jnp.eye(N, dtype=A.dtype)
     for _ in range(steps):
-        R = eye - matmul_hp(A, X)
+        R = eye - matmul_hp3(A, X)
         # safeguard: near-singular systems (kappa ~ 1/eps32) have ||R|| >~ 1
         # and a Newton step would amplify noise -- keep X there
         ok = jnp.max(jnp.abs(R)) < 0.5
         X = jnp.where(ok, X + _mm(X, R), X)
+    return X
+
+
+def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
+                      axis_name: str = "m", bs: int | None = None,
+                      panel_impl: str = "virtual"):
+    """Column-sharded refined inverse for the model ('m') mesh axis.
+
+    Must run inside shard_map over ``axis_name`` with ``n_shards`` ranks.
+    Each rank factors A (replicated -- the O(N^3/3) LU is not distributed
+    yet; block-cyclic factorization is the N>~8k follow-up) but solves and
+    refines only its N/n_shards identity columns, so the dominant
+    solve + residual + correction work divides across the axis.  Newton's
+    correction needs the full current iterate: ONE all_gather of X per
+    refinement step (~N^2 * 8 B over ICI); with steps=0 ('fast' tier) the
+    only collective is the caller's final gather of the result.
+
+    Returns the rank's (N, N/n_shards) column block of A^-1; callers
+    reassemble with lax.all_gather(..., axis=1, tiled=True).
+    """
+    N = A.shape[-1]
+    if N % n_shards:
+        raise ValueError(f"N={N} not divisible by m-axis size {n_shards}")
+    w = N // n_shards
+    rank = lax.axis_index(axis_name)
+    rows = lax.broadcasted_iota(jnp.int32, (N, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (N, w), 1)
+    I_cols = (rows == cols + rank * w).astype(A.dtype)
+    X = zsolve(A, I_cols, method="blocked", bs=bs, panel_impl=panel_impl)
+    for _ in range(steps):
+        R = I_cols - matmul_hp3(A, X)
+        rmax = lax.pmax(jnp.max(jnp.abs(R)), axis_name)
+        Xf = lax.all_gather(X, axis_name, axis=1, tiled=True)
+        X = jnp.where(rmax < 0.5, X + _mm(Xf, R), X)
     return X
 
 

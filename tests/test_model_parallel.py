@@ -1,0 +1,103 @@
+"""Model ('m') axis column sharding: sharded == serial on an ('e','m') mesh.
+
+SURVEY.md section 2.2 model-parallel row: the orbital dimension of the
+solve distributes by column-sharding the identity RHS
+(zlinalg.zinv_refined_cols); the LU factorization stays replicated.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gaunegf_tpu.config import ExecutionConfig
+from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+from gaunegf_tpu.ops.greens import EnergyEngine
+from gaunegf_tpu.parallel.mesh import energy_mesh, MODEL_AXIS, ENERGY_AXIS
+
+
+def _system(N, rng):
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1)) \
+        + np.diag(0.2 * rng.standard_normal(N))
+    S = np.eye(N)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(N - 4, N)],
+                           sig1=-0.1j)
+    return H, S, g
+
+
+@pytest.mark.parametrize("m", [2, 4])
+def test_gr_sum_model_sharded_matches_serial(rng, m):
+    N = 64
+    H, S, g = _system(N, rng)
+    E = np.linspace(-2, 2, 16) + 0.05j
+    w = rng.standard_normal(16)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w)
+    mesh = energy_mesh(model_parallel=m)
+    assert mesh.shape[MODEL_AXIS] == m and mesh.shape[ENERGY_AXIS] == 8 // m
+    sharded = EnergyEngine(H, S, g, cfg, mesh=mesh).gr_sum(E, w)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
+def test_gr_sum_model_sharded_blocked_kernel(rng):
+    """The combination real TPU meshes execute: blocked LU + ('e','m')."""
+    N = 48
+    H, S, g = _system(N, rng)
+    E = np.linspace(-1, 1, 8) + 0.1j
+    w = np.ones(8)
+    cfg = ExecutionConfig(precision="fast", energy_chunk=4, lu_block=16)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w)
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=2)).gr_sum(E, w)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-8)
+
+
+def test_gr_sum_model_sharded_im_epilog(rng):
+    N = 32
+    H, S, g = _system(N, rng)
+    E = np.linspace(-1, 1, 8) + 0.05j
+    w = np.ones(8)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w, epilog="im")
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=2)).gr_sum(
+                               E, w, epilog="im")
+    assert sharded.dtype.kind == "f"
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
+def test_model_shards_fallback_when_indivisible(rng):
+    """N not divisible by m: the engine must fall back to replicated."""
+    N = 33
+    H, S, g = _system(N, rng)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(),
+                       mesh=energy_mesh(model_parallel=2))
+    assert eng._model_shards() == 1
+    E = np.linspace(-1, 1, 8) + 0.05j
+    out = eng.gr_sum(E, np.ones(8))
+    serial = EnergyEngine(H, S, g, ExecutionConfig(), mesh=None).gr_sum(
+        E, np.ones(8))
+    np.testing.assert_allclose(out, serial, rtol=0, atol=1e-9)
+
+
+def test_zinv_refined_cols_direct(rng):
+    """Column-sharded inverse == full inverse, blocked kernel, f32."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gaunegf_tpu.ops import zlinalg as zl
+
+    N, m = 64, 4
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.3 + 0.1j) * np.eye(N)).astype(np.complex64)
+    mesh = energy_mesh(model_parallel=m)
+
+    def body(A):
+        return zl.zinv_refined_cols(A, m, steps=1, bs=16)
+
+    X = shard_map(body, mesh=mesh, in_specs=P(),
+                  out_specs=P(None, MODEL_AXIS))(jnp.asarray(A))
+    X_ref = np.linalg.inv(A.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-6, err
