@@ -192,6 +192,31 @@ def density_eq_n(F, S, g, Eminf, Emin, mu, N1=100, N2=50, T=TEMPERATURE,
     return (1 + 0j) * im / np.pi
 
 
+def density_neq_n(F, S, g, Eminf, Emin, mu1, mu2, N1=100, N2=50, Nnegf=100,
+                  T=TEMPERATURE, T_real=0.0, method="ant", ind=-1,
+                  exec_cfg=_DEFAULT_EXEC, mesh=None, verbose=False):
+    """Full BIASED density in ONE engine dispatch: real-axis lower segment
+    + equilibrium contour (both Im(sum w G)/pi, as in density_eq_n) + the
+    non-equilibrium G< window (sum w G Gamma G+ / 2pi) are fused into a
+    single compiled call and a single device->host transfer per SCF cycle
+    (reference: three separate integrals, scfE.py:301-462).  The physics
+    scales fold into the quadrature weights so the engine remains a plain
+    weighted sum."""
+    E_r, w_r = quad.real_axis_grid(Eminf, Emin, N2, T_real)
+    z_c, w_c = quad.contour_grid(Emin, mu1, N1, T, method)  # eq filled to mu1
+                                                            # (scfE.py:439)
+    E_eq = np.concatenate([np.asarray(E_r, complex),
+                           np.asarray(z_c, complex)])
+    w_eq = np.concatenate([-np.asarray(w_r, complex),
+                           np.asarray(w_c, complex)]) / np.pi
+    E_n, w_n = quad.bias_window_grid(mu1, mu2, Nnegf, T)
+    if verbose:
+        print(f"Fused biased integration: {N2} real-axis + {len(z_c)} "
+              f"contour + {Nnegf} window points...")
+    return _engine(F, S, g, exec_cfg, mesh).density_neq_sum(
+        E_eq, w_eq, E_n, np.asarray(w_n) / (2 * np.pi), contact=ind)
+
+
 def density_complex_n(F, S, g, Emin, mu, N=100, T=TEMPERATURE, method="ant",
                       exec_cfg=_DEFAULT_EXEC, mesh=None, verbose=False):
     """Equilibrium density from the N-point semicircular contour."""

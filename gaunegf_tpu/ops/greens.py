@@ -331,6 +331,85 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
 
 
 @lru_cache(maxsize=None)
+def _build_density_neq_engine(sig_tot_fn, sig_c_fn, c_inds,
+                              exec_cfg: ExecutionConfig,
+                              mesh: Optional[Mesh]):
+    """ONE dispatch per biased SCF cycle: equilibrium + G< window fused.
+
+    Two scans in the same compiled program -- the equilibrium grid through
+    the retarded kernel accumulating Im(w G) (real), and the bias-window
+    grid through the G< kernel (low-rank contact columns when available) --
+    combined on device into one complex density contribution.  Replaces
+    two engine dispatches + two device->host transfers per biased cycle
+    (each ~1.1 s through slow links at N=1000) with one of each.
+    Physics scales (1/pi, 1/2pi) are folded into the weights by the
+    caller, so this engine stays a plain weighted sum like its siblings.
+    """
+    if c_inds is not None:
+        point_gl = lambda e, ww, H, S, params: _point_gless_weighted_lowrank(
+            e, ww, H, S, params, sig_tot_fn, sig_c_fn, c_inds, exec_cfg)
+    else:
+        point_gl = lambda e, ww, H, S, params: _point_gless_weighted(
+            e, ww, H, S, params, sig_tot_fn, sig_c_fn, exec_cfg)
+
+    def device_body(params, H, S, Eq, wq, En, wn, varying=False):
+        N = H.shape[-1]
+
+        def scan_eq(carry, inputs):
+            Eb, wb = inputs
+            vals = jax.vmap(
+                lambda e, ww: jnp.imag(_point_gr_weighted(
+                    e, ww, H, S, params, sig_tot_fn, None,
+                    exec_cfg)))(Eb, wb)
+            return _kahan_add(carry, jnp.sum(vals, axis=0)), None
+
+        def scan_gl(carry, inputs):
+            Eb, wb = inputs
+            vals = jax.vmap(
+                lambda e, ww: point_gl(e, ww, H, S, params))(Eb, wb)
+            return _kahan_add(carry, jnp.sum(vals, axis=0)), None
+
+        rdt = jnp.real(H).dtype
+        init_eq = (jnp.zeros((N, N), rdt), jnp.zeros((N, N), rdt))
+        init_gl = (jnp.zeros((N, N), H.dtype), jnp.zeros((N, N), H.dtype))
+        if varying:
+            init_eq, init_gl = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), (init_eq, init_gl))
+        (se, ce), _ = lax.scan(scan_eq, init_eq, (Eq, wq))
+        (sg, cg), _ = lax.scan(scan_gl, init_gl, (En, wn))
+        return (se + ce) + (sg + cg)
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s):
+            params, H, S, Eq, wq, En, wn = merge_tree(
+                (params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s))
+            return split_traced(
+                device_body(params, H, S, Eq[0], wq[0], En[0], wn[0]))
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s):
+        def per_device(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s):
+            params, H, S, Eq, wq, En, wn = merge_tree(
+                (params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s))
+            partial = device_body(params, H, S, Eq[0], wq[0], En[0], wn[0],
+                                  varying=True)
+            return split_traced(lax.psum(partial, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS),
+                      P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(),
+        )(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s)
+
+    return engine
+
+
+@lru_cache(maxsize=None)
 def _build_sum_engine_mp(sig_tot_fn, exec_cfg: ExecutionConfig, mesh: Mesh,
                          epilog=None):
     """Model-parallel gr_sum engine over an ('e', 'm') mesh.
@@ -1107,6 +1186,37 @@ class EnergyEngine:
                                     self.exec_cfg, self.mesh)
         E_s, w_s, _ = self._prep(E, w)
         out = eng(self._params_split(params), self.H_s, self.S_s, E_s, w_s)
+        return merge_host(out).astype(np.complex128)
+
+    def density_neq_sum(self, E_eq, w_eq, E_neq, w_neq,
+                        contact: Optional[int] = None):
+        """Im(sum w G) over the eq grid + sum w [G Gamma G+] over the bias
+        window, combined on device -- ONE dispatch and ONE transfer per
+        biased SCF cycle (scale factors belong in the weights).
+
+        Falls back to gr_sum + gless_sum (two dispatches) for the warm /
+        double-word / continuation / model-sharded engine families, which
+        have no fused variant."""
+        self._log_dispatch("density_neq", np.size(E_eq) + np.size(E_neq))
+        if (self._use_warm() or self.high or self.exec_cfg.continuation
+                or self._model_shards() > 1):
+            return (np.imag(self.gr_sum(E_eq, w_eq))
+                    + self.gless_sum(E_neq, w_neq, contact))
+        from gaunegf_tpu.utils.logging import perf_span
+        fn, params = self.provider.total_apply()
+        cfn = None
+        if contact is not None:
+            cfn, params = self.provider.contact_apply(contact)
+            fn, _ = self.provider.total_apply()
+        c = self._contact_inds(contact)
+        eng = _build_density_neq_engine(fn, cfn, c, self.exec_cfg,
+                                        self.mesh)
+        Eq_s, wq_s, _ = self._prep(E_eq, w_eq)
+        En_s, wn_s, _ = self._prep(E_neq, w_neq)
+        with perf_span("density_neq",
+                       nE=np.size(E_eq) + np.size(E_neq)):
+            out = eng(self._params_split(params), self.H_s, self.S_s,
+                      Eq_s, wq_s, En_s, wn_s)
         return merge_host(out).astype(np.complex128)
 
     def transmission(self, E):

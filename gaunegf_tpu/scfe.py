@@ -168,22 +168,29 @@ class NEGFE(NEGF):
         bias), with the configured Fermi-update strategy."""
         if (not self.upd_fermi and self.N1 is not None
                 and self.N2 is not None):
-            # fixed Fermi level: fuse the lower real-axis segment and the
-            # equilibrium contour into one engine dispatch (one compiled
-            # call + one device->host transfer per cycle)
-            P = dens.density_eq_n(
-                self.F_eV, self.S, self.g, self.Eminf, self.Emin, self.mu1,
-                N1=self.N1, N2=self.N2, T=self.T, T_real=0.0,
-                exec_cfg=self.exec_cfg, mesh=self.mesh, verbose=self.verbose)
-            if self.mu1 != self.mu2:
+            # fixed Fermi level: fuse the lower real-axis segment, the
+            # equilibrium contour AND (under fixed-grid bias) the G<
+            # window into one engine dispatch -- one compiled call + one
+            # device->host transfer per cycle
+            if self.mu1 != self.mu2 and self.Nnegf is not None:
                 if self.verbose:
-                    print("Calculating non-equilibrium density matrix:")
-                if self.Nnegf is not None:
-                    P = P + dens.density_grid_n(
-                        self.F_eV, self.S, self.g, self.mu1, self.mu2,
-                        ind=-1, N=self.Nnegf, T=self.T,
-                        exec_cfg=self.exec_cfg, mesh=self.mesh)
-                else:
+                    print("Calculating equilibrium + non-equilibrium "
+                          "density matrix (fused):")
+                P = dens.density_neq_n(
+                    self.F_eV, self.S, self.g, self.Eminf, self.Emin,
+                    self.mu1, self.mu2, N1=self.N1, N2=self.N2,
+                    Nnegf=self.Nnegf, T=self.T, T_real=0.0, ind=-1,
+                    exec_cfg=self.exec_cfg, mesh=self.mesh,
+                    verbose=self.verbose)
+            else:
+                P = dens.density_eq_n(
+                    self.F_eV, self.S, self.g, self.Eminf, self.Emin,
+                    self.mu1, N1=self.N1, N2=self.N2, T=self.T, T_real=0.0,
+                    exec_cfg=self.exec_cfg, mesh=self.mesh,
+                    verbose=self.verbose)
+                if self.mu1 != self.mu2:
+                    if self.verbose:
+                        print("Calculating non-equilibrium density matrix:")
                     P = P + dens.density_grid(
                         self.F_eV, self.S, self.g, self.mu1, self.mu2,
                         ind=-1, tol=self.tol, T=self.T,

@@ -148,3 +148,39 @@ def test_density_eq_n_fuses_real_and_contour():
     Pf = dens.density_eq_n(H, S, g, -30.0, -6.0, 0.0, N1=32, N2=16, T=0,
                            exec_cfg=cfg)
     assert np.abs(Pf - (Pr + Pc)).max() < 1e-12
+
+
+def test_density_neq_fused_matches_unfused():
+    """density_neq_n (one dispatch) == density_eq_n + density_grid_n."""
+    H, S, g = _system()
+    kw = dict(N1=24, N2=12, T=300.0)
+    mu1, mu2 = 0.3, 0.6
+    P_ref = dens.density_eq_n(H, S, g, -6.0, -4.0, mu1, **kw) \
+        + dens.density_grid_n(H, S, g, mu1, mu2, ind=-1, N=16, T=300.0)
+    P_fused = dens.density_neq_n(H, S, g, -6.0, -4.0, mu1, mu2,
+                                 Nnegf=16, **kw)
+    np.testing.assert_allclose(P_fused, P_ref, rtol=0, atol=1e-12)
+
+
+def test_density_neq_fused_sharded():
+    H, S, g = _system()
+    mu1, mu2 = 0.5, 0.2          # reversed bias sign covered too
+    serial = dens.density_neq_n(H, S, g, -6.0, -4.0, mu1, mu2,
+                                N1=16, N2=8, Nnegf=16, T=300.0)
+    sharded = dens.density_neq_n(H, S, g, -6.0, -4.0, mu1, mu2,
+                                 N1=16, N2=8, Nnegf=16, T=300.0,
+                                 mesh=energy_mesh())
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-12)
+
+
+def test_density_neq_fused_dense_fallback():
+    """use_lowrank=False path (dense G< kernel) agrees with low-rank to
+    the documented ~1e-9 background-Gamma truncation."""
+    from gaunegf_tpu.config import ExecutionConfig
+    H, S, g = _system()
+    lowrank = dens.density_neq_n(H, S, g, -6.0, -4.0, 0.3, 0.5,
+                                 N1=16, N2=8, Nnegf=16, T=300.0)
+    dense = dens.density_neq_n(H, S, g, -6.0, -4.0, 0.3, 0.5,
+                               N1=16, N2=8, Nnegf=16, T=300.0,
+                               exec_cfg=ExecutionConfig(use_lowrank=False))
+    np.testing.assert_allclose(dense, lowrank, rtol=0, atol=1e-7)
