@@ -61,7 +61,7 @@ def main():
     N, n_E = 1000, 512      # long grid amortizes the ~1.2 s tunnel D2H
     H, S, g = system(N)
     eng = EnergyEngine(H, S, g, ExecutionConfig(
-        precision="mixed", energy_chunk=64, lu_block=128))
+        precision="mixed", energy_chunk=64))
     E = np.linspace(-2.0, 2.0, n_E)
     w = np.ones(n_E)
     pts_1000 = _median_rate(lambda: eng.gr_sum(E, w), n_E, repeats=5)
@@ -70,7 +70,7 @@ def main():
     N2, n_E2 = 2000, 128
     H2, S2, g2 = system(N2)
     eng2 = EnergyEngine(H2, S2, g2, ExecutionConfig(
-        precision="mixed", energy_chunk=16, lu_block=128))
+        precision="mixed", energy_chunk=16))
     E2 = np.linspace(-2.0, 2.0, n_E2)
     pts_2000 = _median_rate(lambda: eng2.gr_sum(E2, np.ones(n_E2)),
                             n_E2, repeats=5)

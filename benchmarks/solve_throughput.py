@@ -36,7 +36,7 @@ def main():
         for prec in args.precisions:
             eng = EnergyEngine(H, S, g, ExecutionConfig(
                 precision=prec, energy_chunk=min(args.chunk, max(args.n_e)),
-                lu_block=128))
+                ))
             for n_e in args.n_e:
                 E = np.linspace(-2, 2, n_e)
                 w = np.ones(n_e)

@@ -50,7 +50,9 @@ SURFACE_BETHE_MIX = 0.5
 
 # TPU execution parameters (new; no reference equivalent)
 DEFAULT_ENERGY_CHUNK = 32       # energies solved per device per jit step
-LU_BLOCK_SIZE = 128             # panel width for the blocked complex LU
+LU_BLOCK_SIZE = 0               # panel width for the blocked complex LU;
+                                # 0 = auto (256 for N >= 1536 else 128 --
+                                # measured crossover on TPU v5e, round 2)
 
 
 # ---------------------------------------------------------------------------
@@ -102,12 +104,16 @@ class ExecutionConfig:
     refine_steps: int = 1   # Newton refinement squares the error: one step
                             # takes complex64 LU from ~2e-5 to ~3e-6 rel
     energy_chunk: int = DEFAULT_ENERGY_CHUNK
-    lu_block: int = LU_BLOCK_SIZE
-    # 'virtual' (default): transposed-layout virtually-pivoted panel --
-    #   no lane-dim dynamic indexing, 2.4x faster than 'xla' on TPU with
-    #   bitwise-identical pivots; 'xla': swap-based fused loop;
-    #   'pallas': VMEM-resident kernel (experimental).
-    lu_panel: str = "virtual"
+    lu_block: int = LU_BLOCK_SIZE   # 0 = auto by matrix size
+    # 'split' (default): recursive half-panel factorization -- rank-1
+    #   eliminations touch base-width strips, deferred inter-strip
+    #   updates run as MXU matmuls (measured +53% at N=1000, 5-7x at
+    #   N=2000 over 'virtual', round 2); 'virtual': transposed-layout
+    #   virtually-pivoted panel (no lane-dim dynamic indexing, the
+    #   round-1 default); 'xla': swap-based fused loop; 'pallas':
+    #   VMEM-resident kernel (experimental).  All produce the identical
+    #   partial-pivot sequence.
+    lu_panel: str = "split"
     # low-rank contact fast path: transmission/G< solve only the contact
     # columns of G (LU cost unchanged, triangular solves shrink N->nc).
     # Neglects the -1j*1e-9*S broadening background's Gamma (~1e-9 rel).

@@ -358,12 +358,16 @@ def _factor_panel_split(panel, unroll: int = PANEL_UNROLL,
 def _pick_block(N: int, bs: int | None) -> int:
     """Largest power of two <= min(requested, ~N), floor 8.
 
+    bs None/0 = auto: 256 for N >= 1536 else 128 (measured crossover of
+    panel-count amortization vs trailing-update granularity on TPU v5e).
     Small matrices (surface-GF blocks, 9x9 Bethe) get small panels so the
     sequential loops don't run on padding.
     """
     if bs is None:
         from gaunegf_tpu.config import LU_BLOCK_SIZE
         bs = LU_BLOCK_SIZE
+    if not bs:
+        bs = 256 if N >= 1536 else 128
     cap = min(bs, max(N, 8))
     b = 8
     while b * 2 <= cap:
@@ -382,7 +386,7 @@ def _pad_to(A, Np):
     return out.at[..., idx, idx].set(1.0)
 
 
-def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
+def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
     """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
 
     Pure-dataflow right-looking LU fused with forward substitution: the
@@ -444,7 +448,7 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "virtual"):
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "panel_impl"))
-def _zsolve_batched(A, B, bs: int, panel_impl: str = "virtual"):
+def _zsolve_batched(A, B, bs: int, panel_impl: str = "split"):
     fn = lambda a, b: _zsolve_single(a, b, bs, panel_impl)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
@@ -452,7 +456,7 @@ def _zsolve_batched(A, B, bs: int, panel_impl: str = "virtual"):
 
 
 def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
-           panel_impl: str = "virtual"):
+           panel_impl: str = "split"):
     """Solve A X = B for batched complex A.
 
     method: None (auto), 'lapack' or 'blocked'.
@@ -468,7 +472,7 @@ def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
 
 
 def zinv(A, *, method: str | None = None, bs: int | None = None,
-         panel_impl: str = "virtual"):
+         panel_impl: str = "split"):
     """Batched complex inverse (reference utils.py:52-54 ``inv``)."""
     N = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), A.shape)
@@ -771,7 +775,7 @@ def dw_from(x):
 
 def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
             bs: int | None = None,
-            panel_impl: str = "virtual", method: str | None = None):
+            panel_impl: str = "split", method: str | None = None):
     """Double-word inverse: X_hi + X_lo ~= (A_hi + A_lo)^-1 to ~1e-9.
 
     A is carried as an exact two-float split (A = A_hi + A_lo with A_hi the
@@ -822,7 +826,7 @@ def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
 
 
 def zinv_refined(A, *, steps: int = 2, method: str | None = None,
-                 bs: int | None = None, panel_impl: str = "virtual"):
+                 bs: int | None = None, panel_impl: str = "split"):
     """Inverse with Newton refinement: X <- X + X (I - A X).
 
     Residual I - A X is evaluated with double-float matmuls, so each step
@@ -842,7 +846,7 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
 
 def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
                       axis_name: str = "m", bs: int | None = None,
-                      panel_impl: str = "virtual"):
+                      panel_impl: str = "split"):
     """Column-sharded refined inverse for the model ('m') mesh axis.
 
     Must run inside shard_map over ``axis_name`` with ``n_shards`` ranks.
