@@ -301,10 +301,14 @@ class NEGF:
 
     # ------------------------------------------------------------------
     def SCF(self, conv=SCF_CONVERGENCE_TOL, damping=SCF_DAMPING,
-            max_cycles=SCF_MAX_CYCLES, checkpoint=True, pulay=True):
+            max_cycles=SCF_MAX_CYCLES, checkpoint=True, pulay=True,
+            callback=None):
         """Main Fock <-> density loop (scf.py:691-813): convergence when
         max(RMSDP, MaxDP, |dE|) < conv; density checkpoint saved whenever
-        the convergence level improves and promoted to *_Final.mat."""
+        the convergence level improves and promoted to *_Final.mat.
+
+        callback(self), if given, runs after each cycle's convergence
+        update -- a monitoring hook for notebooks / external loggers."""
         assert hasattr(self, "mu1") and hasattr(self, "mu2"), \
             "Voltage not set!"
         checkpoint_file = f"{self.name}_P.mat"
@@ -336,6 +340,8 @@ class NEGF:
             counts.append(n_iter)
             electrons.append(self.nelec)
             self.conv_level = max(rmsdp, maxdp, abs(dE))
+            if callback is not None:
+                callback(self)
             # Checkpoint BEFORE the exit checks (scf.py:781-795 saves then
             # breaks) so *_Final.mat never promotes a stale density.
             if self.conv_level < min_conv and checkpoint:
