@@ -1,4 +1,4 @@
-"""3D-lattice surface self-energies (surfG3D equivalent).
+"""3D-lattice surface self-energies (surfG3D equivalent + k-space).
 
 Capability parity with gauNEGF/surfG3D.py, which is the reference's
 work-in-progress NumPy twin of the Bethe-lattice model ("need to implement
@@ -15,20 +15,27 @@ Bethe geometry path, mirrored here:
 The fixed points, Slater-Koster construction and device embedding are the
 shared jitted machinery from models/bethe.py -- whereas the reference
 duplicates ~1000 lines of surfGBethe in NumPy, this implementation reuses
-the batched TPU path.  Gamma-point-only: like the reference, no k-space
-integration yet (kept as an explicit keyword for forward compatibility).
+the batched TPU path.
+
+Beyond the reference: ``gamma_point_only=False`` enables true 2D
+Brillouin-zone integration (``nk x nk`` Monkhorst-Pack) for the crystal
+half-space behind the contact plane -- the reference's open TODO --
+via per-k Sancho-Rubio decimation batched on the device
+(models/kspace.py; approximations documented there).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from gaunegf_tpu.config import ETA, TEMPERATURE
 from gaunegf_tpu.models import slater_koster as sk
 from gaunegf_tpu.models.bethe import (
-    BetheGeometry, BetheSelfEnergy, DIM, PLANE_DIRS)
+    BetheGeometry, BetheSelfEnergy, DIM, PLANE_DIRS, _HashableArray)
 
 __all__ = ["Lattice3DSelfEnergy"]
 
@@ -83,19 +90,108 @@ def _detect_contact_3d(geom: BetheGeometry, contact_atoms: Sequence[int]):
     return inds_list, normal, lat_vec / lat_dist, n_vecs, n_ind_list
 
 
+@lru_cache(maxsize=None)
+def _kspace_contact_fn(static_key, Xi_h, i: int):
+    """Per-contact sigma with the k-integrated half-space embedding.
+
+    Mirrors bethe._bethe_contact_fn but the atom sigma is
+    sig_down(k-averaged) + in-plane Bethe directional sigmas minus the
+    device-matched in-plane slots (matched slots are in-plane by the
+    surfG3D detector's assertion)."""
+    from gaunegf_tpu.models.kspace import kspace_sigma_surface
+
+    inds, nind, N, spin, orthogonal = static_key
+    Xi = jnp.asarray(Xi_h.arr)
+
+    def fn(params, E):
+        p = params["contacts"][i]
+        sig_dirs, sig_down = kspace_sigma_surface(
+            E, p["H"], p["S"], p["V"], p["plane_ph"], p["down_ph"],
+            p["eta"])
+        sig = jnp.zeros((N, N), dtype=sig_down.dtype)
+        for n_inds, f_inds in zip(nind[i], inds[i]):
+            # sig_dirs has the bulk-side slots zeroed: the sum is in-plane
+            sig_atom = sig_down + jnp.sum(sig_dirs, axis=0)
+            for k in n_inds:
+                if k < 9:
+                    sig_atom = sig_atom - sig_dirs[k]
+            ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
+            sig = sig.at[ix].set(sig_atom)
+        if orthogonal:
+            sig = Xi @ sig @ Xi
+        if spin in ("u", "ro"):
+            sig = jnp.kron(jnp.eye(2), sig)
+        elif spin == "g":
+            sig = jnp.kron(sig, jnp.eye(2))
+        return sig
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _kspace_total_fn(static_key, Xi_h):
+    n_contacts = len(static_key[0])
+
+    def fn(params, E):
+        tot = _kspace_contact_fn(static_key, Xi_h, 0)(params, E)
+        for i in range(1, n_contacts):
+            tot = tot + _kspace_contact_fn(static_key, Xi_h, i)(params, E)
+        return tot
+
+    return fn
+
+
 class Lattice3DSelfEnergy(BetheSelfEnergy):
-    """Surface self-energy for an explicit 3D-lattice contact plane."""
+    """Surface self-energy for an explicit 3D-lattice contact plane.
+
+    gamma_point_only=True (default): the reference-parity mode -- the
+    half-space uses the Bethe-lattice fixed point (surfG3D's actual
+    behaviour).  gamma_point_only=False: the crystal half-space is
+    BZ-integrated on an nk x nk Monkhorst-Pack grid (beyond the
+    reference; warm-started engines are not yet wired for this mode, so
+    sweeps run the standard cold path).
+    """
 
     _detector = staticmethod(_detect_contact_3d)
 
     def __init__(self, F, S, contacts, geometry: BetheGeometry,
                  lat_file: str = "Au", spin: str = "r", eta: float = ETA,
                  T: float = TEMPERATURE, gamma_point_only: bool = True,
-                 **kw):
-        if not gamma_point_only:
-            raise NotImplementedError(
-                "k-space integration beyond the Gamma point is not "
-                "implemented (matching the reference's status, "
-                "surfG3D.py:21-23)")
+                 nk: int = 4, **kw):
         super().__init__(F, S, contacts, geometry, lat_file, spin, eta, T,
                          **kw)
+        self.kspace = not gamma_point_only
+        self.nk = int(nk)
+        if self.kspace:
+            from gaunegf_tpu.models.kspace import kspace_phases
+            self._phases = [kspace_phases(nv, self.nk)
+                            for nv in self.dir_lists]
+            # the warm-started engine family is Bethe-specific; disable so
+            # EnergyEngine falls back to the standard per-energy path
+            self.contacts_warm_apply = None
+            self.total_apply_warm = None
+
+    def params(self):
+        base = super().params()
+        if not self.kspace:
+            return base
+        contacts = []
+        for p, (plane_ph, down_ph) in zip(base["contacts"], self._phases):
+            q = dict(p)
+            q["plane_ph"] = plane_ph.astype(np.complex128)
+            q["down_ph"] = down_ph.astype(np.complex128)
+            contacts.append(q)
+        return {"contacts": tuple(contacts)}
+
+    def total_apply(self):
+        if not self.kspace:
+            return super().total_apply()
+        return _kspace_total_fn(self._static_key(),
+                                _HashableArray(self.Xi)), self.params()
+
+    def contact_apply(self, i):
+        if not self.kspace:
+            return super().contact_apply(i)
+        i = i % len(self.g_list)
+        return _kspace_contact_fn(self._static_key(),
+                                  _HashableArray(self.Xi), i), self.params()

@@ -1,0 +1,97 @@
+"""k-space surface-GF machinery (models/kspace.py) unit properties."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gaunegf_tpu.models import harrison as hr
+from gaunegf_tpu.models import kspace as ks
+from gaunegf_tpu.models import slater_koster as sk
+from gaunegf_tpu.models.bethe import PLANE_DIRS
+
+
+def _au():
+    p = hr.bethe_params("Au")
+    n_vecs = sk.fcc111_neighbor_directions(np.array([0, 0, 1.0]),
+                                           np.array([1.0, 0, 0]))
+    Slist = np.stack([sk.bond_matrix(p.overlap, d) for d in n_vecs])
+    Vlist = np.stack([sk.bond_matrix(p.hopping, d) for d in n_vecs])
+    return p, n_vecs, Slist, Vlist
+
+
+def test_monkhorst_pack_grid():
+    f = ks.monkhorst_pack_2d(4)
+    assert f.shape == (16, 2)
+    assert np.abs(f).max() < 0.5                  # interior of the BZ
+    assert abs(f.mean()) < 1e-14                  # symmetric grid
+
+
+def test_phases_unit_modulus_and_gamma_limit():
+    _, n_vecs, _, _ = _au()
+    plane_ph, down_ph = ks.kspace_phases(n_vecs, 3)
+    assert plane_ph.shape == (9, 6) and down_ph.shape == (9, 3)
+    assert np.allclose(np.abs(plane_ph), 1) and np.allclose(
+        np.abs(down_ph), 1)
+    # nk=1 Monkhorst-Pack = the Gamma point: all phases exactly 1
+    p1, d1 = ks.kspace_phases(n_vecs, 1)
+    assert np.allclose(p1, 1) and np.allclose(d1, 1)
+    # opposite in-plane slots carry conjugate phases (R -> -R)
+    for a, b in ((0, 3), (1, 4), (2, 5)):         # PLANE_DIRS order
+        assert np.allclose(plane_ph[:, a], np.conj(plane_ph[:, b]))
+
+
+def test_sigma_down_passive_and_bounded():
+    p, n_vecs, Slist, Vlist = _au()
+    plane_ph, down_ph = ks.kspace_phases(n_vecs, 2)
+    H = jnp.asarray(p.h0())
+    for E in (-12.0, -9.5, -6.0):
+        sig = np.asarray(ks.kspace_sigma_down(
+            E, H, jnp.asarray(Slist), jnp.asarray(Vlist),
+            jnp.asarray(plane_ph), jnp.asarray(down_ph), eta=1e-5))
+        assert np.isfinite(sig).all()
+        # retarded: Im(Sigma) <= 0, i.e. +i(Sigma - Sigma^+) is PSD
+        # (the branch the Bethe fixed points produce; see kspace docstring)
+        gam = 1j * (sig - sig.conj().T)
+        assert np.linalg.eigvalsh(gam).min() > -1e-6, E
+
+
+def test_sigma_down_hermitian_outside_band():
+    """Far below the band the half-space sigma is real (no open channels)."""
+    p, n_vecs, Slist, Vlist = _au()
+    plane_ph, down_ph = ks.kspace_phases(n_vecs, 2)
+    sig = np.asarray(ks.kspace_sigma_down(
+        -60.0, jnp.asarray(p.h0()), jnp.asarray(Slist), jnp.asarray(Vlist),
+        jnp.asarray(plane_ph), jnp.asarray(down_ph), eta=1e-6))
+    anti = np.abs(sig - sig.conj().T).max()
+    assert anti < 1e-4, anti
+
+
+def test_sigma_down_converges_in_nk():
+    p, n_vecs, Slist, Vlist = _au()
+    H = jnp.asarray(p.h0())
+
+    def sig_at(nk):
+        plane_ph, down_ph = ks.kspace_phases(n_vecs, nk)
+        return np.asarray(ks.kspace_sigma_down(
+            -9.5, H, jnp.asarray(Slist), jnp.asarray(Vlist),
+            jnp.asarray(plane_ph), jnp.asarray(down_ph), eta=1e-4))
+
+    s1, s4, s6 = sig_at(1), sig_at(4), sig_at(6)
+    err1 = np.abs(s1 - s6).max()
+    err4 = np.abs(s4 - s6).max()
+    assert err4 < 0.3 * err1, (err1, err4)
+
+
+def test_surface_sigma_structure():
+    p, n_vecs, Slist, Vlist = _au()
+    plane_ph, down_ph = ks.kspace_phases(n_vecs, 2)
+    sig_dirs, sig_down = ks.kspace_sigma_surface(
+        -9.5, jnp.asarray(p.h0()), jnp.asarray(Slist), jnp.asarray(Vlist),
+        jnp.asarray(plane_ph), jnp.asarray(down_ph), eta=1e-5)
+    sig_dirs = np.asarray(sig_dirs)
+    assert sig_dirs.shape == (9, 9, 9)
+    for d in ks.DOWN_DIRS:                      # bulk-side slots zeroed
+        assert np.abs(sig_dirs[d]).max() == 0.0
+    for d in PLANE_DIRS:                        # in-plane slots populated
+        assert np.abs(sig_dirs[d]).max() > 1e-8

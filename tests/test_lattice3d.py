@@ -56,12 +56,30 @@ def test_lattice3d_rejects_non_planar():
                             lat_file=_lat_file(), fermi=0.0, verbose=False)
 
 
-def test_lattice3d_gamma_only_guard():
+def test_lattice3d_kspace_provider():
+    """gamma_point_only=False: BZ-integrated half-space (beyond the
+    reference, which never implemented it -- surfG3D.py:21-23)."""
     geom = _plane_geometry()
-    with pytest.raises(NotImplementedError):
-        Lattice3DSelfEnergy(np.zeros((40, 40)), np.eye(40), [[1, 2, 3, 4]],
-                            geom, lat_file=_lat_file(),
-                            gamma_point_only=False)
+    n_orb = 4 * 9 + 4
+    F = np.zeros((n_orb, n_orb))
+    S = np.eye(n_orb)
+    prov = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom,
+                               lat_file=_lat_file(), eta=1e-6, T=0.0,
+                               fermi=0.0, verbose=False,
+                               gamma_point_only=False, nk=2)
+    assert prov.kspace and prov.contacts_warm_apply is None
+    sig = prov.sigmaTot(-2.0)
+    blk = sig[:36, :36]
+    assert np.isfinite(blk).all()
+    assert np.max(np.abs(blk)) > 1e-3
+    gam = 1j * (blk - blk.conj().T)
+    assert np.linalg.eigvalsh(gam).min() > -1e-6, "passivity"
+    # the k-integrated half-space must differ from the Bethe half-space
+    prov_g = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom,
+                                 lat_file=_lat_file(), eta=1e-6, T=0.0,
+                                 fermi=0.0, verbose=False)
+    sig_g = prov_g.sigmaTot(-2.0)
+    assert np.max(np.abs(sig - sig_g)) > 1e-4
 
 
 def test_dos_fermi_search():
