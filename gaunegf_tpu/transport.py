@@ -54,16 +54,29 @@ class _StaticSigma:
     def contact_apply(self, i):
         return _static_contact(i % 2), self.params()
 
+    REL_SUPPORT_TOL = 1e-6      # relative Gamma row cutoff (see below)
+
     def contact_inds(self, i=None):
-        """Support of Gamma_i above a relative threshold (the formSigma
-        -1j*1e-9*S background is below it); None when effectively dense."""
+        """Support of Gamma_i for the low-rank contact fast path.
+
+        A row belongs to the support when its Gamma row-max exceeds
+        ``REL_SUPPORT_TOL`` (1e-6) of the global peak -- above the
+        formSigma ``-1j*1e-9*S`` broadening background for any physical
+        coupling scale.  Rows BELOW the cutoff are truncated from the
+        low-rank solve: their relative contribution to T(E)/G< is bounded
+        by the same 1e-6, i.e. the truncation error matches the 'mixed'
+        precision tier's floor (pinned by
+        tests/test_transport.py::test_contact_inds_threshold_boundary).
+        Returns None (dense path) for an empty Gamma or when the support
+        exceeds half the orbitals (no low-rank win); set
+        ``ExecutionConfig(use_lowrank=False)`` to force dense exactly."""
         sigs = self._sigs if i is None else self._sigs[i % 2:i % 2 + 1]
         gam = np.abs(1j * (sigs - np.conj(np.swapaxes(sigs, -1, -2))))
         rowmax = gam.max(axis=(0, 2))
         peak = rowmax.max()
         if peak == 0:
             return None
-        support = np.where(rowmax > 1e-6 * peak)[0]
+        support = np.where(rowmax > self.REL_SUPPORT_TOL * peak)[0]
         if len(support) > len(rowmax) // 2:
             return None
         return tuple(int(j) for j in support)

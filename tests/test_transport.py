@@ -195,3 +195,42 @@ def test_current_sign_conventions():
     assert Ip > 0 and Im < 0
     z = tr.calculate_current(H, S, tr.SigmaSource(s1, s2), 0.0, 0.0)
     assert z == 0.0
+
+
+def test_contact_inds_threshold_boundary():
+    """_StaticSigma.contact_inds: weak-but-real couplings stay in the
+    support; sub-threshold rows truncate with a bounded (<=1e-6 relative)
+    effect on T(E); dense fallback when the support is too wide."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.transport import SigmaSource, calculate_transmission
+
+    n, nc = 32, 3
+    sig1 = np.zeros((n, n), complex)
+    sig1[np.ix_(range(nc), range(nc))] = -0.1j * np.eye(nc)
+    sig1[nc, nc] = -0.1j * 1e-5          # weak but ABOVE the 1e-6 cutoff
+    sig1[nc + 1, nc + 1] = -0.1j * 1e-8  # below the cutoff: truncated
+    sig2 = np.zeros((n, n), complex)
+    sig2[np.ix_(range(n - nc, n), range(n - nc, n))] = -0.1j * np.eye(nc)
+
+    src = SigmaSource(sig1, sig2)
+    inds1 = src.provider.contact_inds(0)
+    assert nc in inds1, "1e-5-relative coupling must stay in the support"
+    assert nc + 1 not in inds1, "sub-threshold row must be truncated"
+
+    # truncation error bound: low-rank vs dense transmission
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    E = np.linspace(-1.5, 1.5, 16)
+    T_lr = calculate_transmission(H, S, src, E)
+    T_dense = calculate_transmission(H, S, src, E,
+                                     exec_cfg=ExecutionConfig(
+                                         use_lowrank=False))
+    rel = np.abs(T_lr - T_dense).max() / max(np.abs(T_dense).max(), 1e-30)
+    assert rel < 1e-5, rel
+
+    # support wider than half the orbitals -> dense (None)
+    wide = np.diag(np.full(n, -0.1j))
+    assert SigmaSource(wide, sig2).provider.contact_inds(0) is None
+    # empty Gamma -> None
+    assert SigmaSource(np.zeros((n, n)), sig2).provider.contact_inds(0) \
+        is None
