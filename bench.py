@@ -29,6 +29,26 @@ import numpy as np
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
 
+def _prep_backend():
+    """Persistent compile cache (first compiles are minutes through the
+    remote compiler; reruns should not repay them) + a tiny health check
+    so a wedged remote service fails fast and visibly instead of hanging
+    inside the first engine compile."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/gaunegf_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:                      # cache is best-effort
+        print(f"# compile cache unavailable: {e}", file=sys.stderr)
+    t0 = time.time()
+    x = jnp.ones((128, 128), jnp.float32)
+    assert np.asarray(x @ x)[0, 0] == 128.0
+    print(f"# health check OK ({time.time() - t0:.1f}s, "
+          f"{jax.devices()[0]})", file=sys.stderr)
+
+
 def _median_rate(fn, n_points, repeats):
     """Median points/s over `repeats` timed calls (one warm call first)."""
     fn()                                  # compile + warm
@@ -43,6 +63,7 @@ def _median_rate(fn, n_points, repeats):
 
 
 def main():
+    _prep_backend()
     from gaunegf_tpu.config import ExecutionConfig
     from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
     from gaunegf_tpu.ops.greens import EnergyEngine
