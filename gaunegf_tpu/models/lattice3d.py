@@ -29,7 +29,6 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from gaunegf_tpu.config import ETA, TEMPERATURE
@@ -64,6 +63,12 @@ def _detect_contact_3d(geom: BetheGeometry, contact_atoms: Sequence[int]):
     centred = c_list - c_list.mean(axis=0)
     _, _, Vt = np.linalg.svd(centred)
     normal = Vt[-1]
+    # orient the normal away from the structure centroid (toward the
+    # missing electrode bulk) -- the SVD sign is arbitrary, and the
+    # k-space half-space attaches on the +normal side (slots 3,4,5)
+    outward = c_list.mean(axis=0) - coords.mean(axis=0)
+    if np.dot(outward, normal) < 0:
+        normal = -normal
 
     d = np.linalg.norm(c_list[1:] - c_list[0], axis=1)
     v_ind = int(np.argmin(d)) + 1
@@ -94,36 +99,23 @@ def _detect_contact_3d(geom: BetheGeometry, contact_atoms: Sequence[int]):
 def _kspace_contact_fn(static_key, Xi_h, i: int):
     """Per-contact sigma with the k-integrated half-space embedding.
 
-    Mirrors bethe._bethe_contact_fn but the atom sigma is
-    sig_down(k-averaged) + in-plane Bethe directional sigmas minus the
-    device-matched in-plane slots (matched slots are in-plane by the
-    surfG3D detector's assertion)."""
-    from gaunegf_tpu.models.kspace import kspace_sigma_surface
+    Synthesizes a 9-slot directional stack -- in-plane slots from the
+    Bethe relaxation, the k-averaged half-space term parked in one
+    (otherwise zero) bulk-side slot -- and reuses bethe._bethe_embed_fn
+    for the per-atom subtraction / de-orthogonalization / spin expansion
+    (matched slots are in-plane by the surfG3D detector's assertion, so
+    they never touch the half-space slot)."""
+    from gaunegf_tpu.models.bethe import _bethe_embed_fn
+    from gaunegf_tpu.models.kspace import DOWN_DIRS, kspace_sigma_surface
 
-    inds, nind, N, spin, orthogonal = static_key
-    Xi = jnp.asarray(Xi_h.arr)
+    embed = _bethe_embed_fn(static_key, Xi_h, i)
 
     def fn(params, E):
         p = params["contacts"][i]
         sig_dirs, sig_down = kspace_sigma_surface(
             E, p["H"], p["S"], p["V"], p["plane_ph"], p["down_ph"],
             p["eta"])
-        sig = jnp.zeros((N, N), dtype=sig_down.dtype)
-        for n_inds, f_inds in zip(nind[i], inds[i]):
-            # sig_dirs has the bulk-side slots zeroed: the sum is in-plane
-            sig_atom = sig_down + jnp.sum(sig_dirs, axis=0)
-            for k in n_inds:
-                if k < 9:
-                    sig_atom = sig_atom - sig_dirs[k]
-            ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
-            sig = sig.at[ix].set(sig_atom)
-        if orthogonal:
-            sig = Xi @ sig @ Xi
-        if spin in ("u", "ro"):
-            sig = jnp.kron(jnp.eye(2), sig)
-        elif spin == "g":
-            sig = jnp.kron(sig, jnp.eye(2))
-        return sig
+        return embed(sig_dirs.at[DOWN_DIRS[0]].set(sig_down))
 
     return fn
 

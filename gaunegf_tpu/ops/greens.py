@@ -81,7 +81,8 @@ def _point_gr_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
                           _unused, exec_cfg):
     """'high'/'exact' tiers: w * G(E) as a double-word (hi, lo) pair.
 
-    sig_tot_fn returns a (hi, lo) sigma pair (see _dw_sig_fns)."""
+    sig_tot_fn returns a (hi, lo) sigma pair (see EnergyEngine._dw_total
+    / _dw_contact / _dw_wrap)."""
     E_hi, _ = E_dw
     sigma_dw = _cast_dw(sig_tot_fn(params, E_hi), H_dw[0].dtype)
     return _dw_scale(w_dw, _gr_dw(E_dw, H_dw, S_dw, sigma_dw, exec_cfg))
@@ -1200,7 +1201,7 @@ class EnergyEngine:
         self._log_dispatch("density_neq", np.size(E_eq) + np.size(E_neq))
         if (self._use_warm() or self.high or self.exec_cfg.continuation
                 or self._model_shards() > 1):
-            return (np.imag(self.gr_sum(E_eq, w_eq))
+            return (self.gr_sum(E_eq, w_eq, epilog="im")
                     + self.gless_sum(E_neq, w_neq, contact))
         from gaunegf_tpu.utils.logging import perf_span
         fn, params = self.provider.total_apply()

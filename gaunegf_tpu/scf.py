@@ -153,7 +153,7 @@ class NEGF:
         elif sig.ndim == 2:
             if len(sig) == len(l_ind) and len(sig2) == len(r_ind):
                 pass
-            elif len(sig) == len(r_ind) / 2 and len(sig2) == len(r_ind) / 2:
+            elif len(sig) == len(l_ind) / 2 and len(sig2) == len(r_ind) / 2:
                 sig = spinmod.expand_matrix(sig, self.spin)
                 sig2 = spinmod.expand_matrix(sig2, self.spin)
             else:

@@ -101,3 +101,21 @@ def test_dos_fermi_search():
         if abs(n_curr - target) < 1e-8:
             break
     assert abs(Ef - 1.2) < 1e-6
+
+
+def test_detector_normal_points_away_from_structure():
+    """The SVD normal's sign is arbitrary; the detector must orient it
+    toward the missing electrode bulk (away from the structure centroid)
+    regardless of which side of the plane the device sits on."""
+    from gaunegf_tpu.models.lattice3d import _detect_contact_3d
+
+    for z_dev in (-5.0, +5.0):
+        geom = _plane_geometry()
+        coords = geom.coords.copy()
+        coords[-1, 2] = z_dev                 # device above or below
+        geom2 = bt.BetheGeometry(coords, geom.orbital_atoms, None)
+        _, normal, _, n_vecs, _ = _detect_contact_3d(geom2, [1, 2, 3, 4])
+        assert normal[2] * z_dev < 0, (z_dev, normal)
+        # bulk-side slots (3,4,5) must lie on the +normal side
+        for d in (3, 4, 5):
+            assert n_vecs[d] @ normal > 0.5

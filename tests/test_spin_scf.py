@@ -71,3 +71,22 @@ def test_unrestricted_negfe_contour(tmp_path):
     negfe.setVoltage(0.0, fermi=0.0)
     negfe.SCF(conv=1e-4, damping=0.1, max_cycles=200)
     assert negfe.conv_level < 1e-4
+
+
+def test_asymmetric_contact_matrix_sigma_expansion(tmp_path):
+    """Half-length MATRIX sigmas validate against their own contact's
+    index count (the left check previously used r_ind -- a copy-paste
+    that rejected valid asymmetric-contact input)."""
+    be = _u_backend()
+    negf = NEGF(be, spin="u", name=str(tmp_path / "am"), verbose=False)
+    # 1 left atom (2 spin orbitals), 2 right atoms (4 spin orbitals):
+    # spatial-sized matrices (1x1 left, 2x2 right) must spin-expand
+    sig_l = -0.1j * np.eye(1)
+    sig_r = -0.1j * np.eye(2)
+    negf.setSigma([1], [7, 8], sig=sig_l, sig2=sig_r)
+    assert negf.sigma1.shape == negf.sigma2.shape == (16, 16)
+    # wrong-size left matrix (matches half of r_ind, not l_ind) rejected
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dimension mismatch"):
+        negf.setSigma([1], [7, 8], sig=-0.1j * np.eye(2),
+                      sig2=-0.1j * np.eye(2))
