@@ -96,7 +96,13 @@ def main():
     pts_2000 = _median_rate(lambda: eng2.gr_sum(E2, np.ones(n_E2)),
                             n_E2, repeats=5)
 
-    # --- extra 2: low-rank T(E) sweep on the N=1000 junction -----------
+    # --- extra 2: N=2000 production density path (device-side Im epilog:
+    # the transfer is half of extra 1's -- this is what SCF actually runs)
+    pts_2000_im = _median_rate(
+        lambda: eng2.gr_sum(E2, np.ones(n_E2), epilog="im"),
+        n_E2, repeats=3)
+
+    # --- extra 3: low-rank T(E) sweep on the N=1000 junction -----------
     pts_trans = _median_rate(lambda: eng.transmission(E), n_E, repeats=3)
 
     print(json.dumps({
@@ -106,6 +112,7 @@ def main():
         "vs_baseline": round(pts_1000 / CPU_BASELINE_PTS_PER_SEC, 2),
         "extra": {
             "n2000_mixed_pts_per_s": round(pts_2000, 2),
+            "n2000_mixed_im_pts_per_s": round(pts_2000_im, 2),
             "transmission_lowrank_pts_per_s": round(pts_trans, 2),
         },
     }))
