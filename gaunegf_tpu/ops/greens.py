@@ -83,8 +83,7 @@ def _point_gr_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
 
     sig_tot_fn returns a (hi, lo) sigma pair (see EnergyEngine._dw_total
     / _dw_contact / _dw_wrap)."""
-    E_hi, _ = E_dw
-    sigma_dw = _cast_dw(sig_tot_fn(params, E_hi), H_dw[0].dtype)
+    sigma_dw = _cast_dw(sig_tot_fn(params, E_dw), H_dw[0].dtype)
     return _dw_scale(w_dw, _gr_dw(E_dw, H_dw, S_dw, sigma_dw, exec_cfg))
 
 
@@ -122,10 +121,9 @@ def _point_gless_weighted_dw(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
     Sigma and Gamma enter as double-word pairs (exact for providers with a
     dw evaluation, zero-lo otherwise); the Gr/Ga products keep double-word
     precision via zmatmul_dw (Ozaki-exact leading products on 'exact')."""
-    E_hi, _ = E_dw
     dt = H_dw[0].dtype
-    sig_tot = _cast_dw(sig_tot_fn(params, E_hi), dt)
-    sig_c = (_cast_dw(sig_c_fn(params, E_hi), dt)
+    sig_tot = _cast_dw(sig_tot_fn(params, E_dw), dt)
+    sig_c = (_cast_dw(sig_c_fn(params, E_dw), dt)
              if sig_c_fn is not None else sig_tot)
     exact = exec_cfg.precision == "exact"
     G_hi, G_lo = _gr_dw(E_dw, H_dw, S_dw, sig_tot, exec_cfg)
@@ -139,14 +137,13 @@ def _point_transmission_dw(E_dw, H_dw, S_dw, params, sig_tot_fn, g1_fn,
                            g2_fn, exec_cfg):
     """T(E) = Re tr(G1 Gr G2 Ga) with double-word products and an exactly
     compensated pairwise trace reduction; returns a (hi, lo) real pair."""
-    E_hi, _ = E_dw
     dt = H_dw[0].dtype
-    sig_tot = _cast_dw(sig_tot_fn(params, E_hi), dt)
+    sig_tot = _cast_dw(sig_tot_fn(params, E_dw), dt)
     exact = exec_cfg.precision == "exact"
     G_dw = _gr_dw(E_dw, H_dw, S_dw, sig_tot, exec_cfg)
     Ga_dw = (jnp.conj(G_dw[0]).T, jnp.conj(G_dw[1]).T)
-    gamma1 = _gamma_dw(_cast_dw(g1_fn(params, E_hi), dt))
-    gamma2 = _gamma_dw(_cast_dw(g2_fn(params, E_hi), dt))
+    gamma1 = _gamma_dw(_cast_dw(g1_fn(params, E_dw), dt))
+    gamma2 = _gamma_dw(_cast_dw(g2_fn(params, E_dw), dt))
     M1 = zl.zmatmul_dw(gamma1, G_dw, exact=exact)     # Gamma1 Gr
     M2 = zl.zmatmul_dw(gamma2, Ga_dw, exact=exact)    # Gamma2 Ga
     # tr(M1 M2) = sum_ij M1_ij * (M2^T)_ij, elementwise double-word
@@ -159,8 +156,7 @@ def _point_transmission_dw(E_dw, H_dw, S_dw, params, sig_tot_fn, g1_fn,
 
 def _point_gr_diag_dw(E_dw, H_dw, S_dw, params, sig_tot_fn, exec_cfg):
     """diag G(E) as a double-word pair (DOS building block)."""
-    E_hi, _ = E_dw
-    sigma_dw = _cast_dw(sig_tot_fn(params, E_hi), H_dw[0].dtype)
+    sigma_dw = _cast_dw(sig_tot_fn(params, E_dw), H_dw[0].dtype)
     G_hi, G_lo = _gr_dw(E_dw, H_dw, S_dw, sigma_dw, exec_cfg)
     return jnp.diagonal(G_hi), jnp.diagonal(G_lo)
 
@@ -712,8 +708,12 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
 @lru_cache(maxsize=None)
 def _dw_wrap(fn):
     """Lift a single-word sigma fn to the (hi, lo) interface (zero lo):
-    the provider's own f32 evaluation floor then dominates the tier."""
+    the provider's own f32 evaluation floor then dominates the tier.
+    The dw kernels pass E as a (hi, lo) pair; single-word providers see
+    only the hi part."""
     def wrapped(params, E):
+        if isinstance(E, tuple):
+            E = E[0]
         s = fn(params, E)
         return s, jnp.zeros_like(s)
     return wrapped

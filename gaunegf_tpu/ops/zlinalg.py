@@ -761,6 +761,26 @@ def ctwo_prod(a, b):
     return re + 1j * im, re_lo + 1j * im_lo
 
 
+def cdw_add2(X, Y):
+    """Double-word complex matrix add: (hi, lo) + (hi, lo) -> (hi, lo)."""
+    hi, e = ctwo_sum(X[0], Y[0])
+    return hi, X[1] + Y[1] + e
+
+
+def cdw_sub(X, Y):
+    return cdw_add2(X, (-Y[0], -Y[1]))
+
+
+def cdw_smul(z, M):
+    """Double-word scalar (hi, lo) times double-word matrix (hi, lo)."""
+    p_hi, p_lo = ctwo_prod(z[0], M[0])
+    return p_hi, p_lo + z[0] * M[1] + z[1] * M[0]
+
+
+def cdw_conj_t(M):
+    return jnp.conj(M[0]).T, jnp.conj(M[1]).T
+
+
 def dw_add(s, x):
     """Double-word accumulate: s=(hi,lo) += x=(hi,lo) with error capture."""
     s_hi, s_lo = s

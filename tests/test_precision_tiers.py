@@ -149,3 +149,61 @@ def test_tiers_on_mesh(rng):
                                rtol=0, atol=1e-9)
     np.testing.assert_allclose(sharded.transmission(E),
                                serial.transmission(E), rtol=0, atol=1e-9)
+
+
+def test_exact_tier_energy_dependent_chain_provider(rng):
+    """VERDICT r1 item 7, full scope: the exact tier keeps its ~1e-11
+    floor with an ENERGY-DEPENDENT provider -- the chain surface GF runs
+    fully double-word (surface_g_sancho_dw)."""
+    from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
+
+    n = 32
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1)) \
+        + np.diag(0.3 * rng.standard_normal(n))
+    S = np.eye(n) + 0.05 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    g = Chain1DSelfEnergy(H, S, [np.arange(4), np.arange(n - 4, n)],
+                          eta=1e-6)
+    E = np.linspace(-1.5, 1.5, 8) + 0.05j
+    w = rng.standard_normal(8)
+    ref = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict")).gr_sum(E, w)
+    out = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="exact")).gr_sum(E, w)
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 1e-11, rel
+    # high tier: f32-accumulation floor, still beyond f32 representation
+    out_h = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="high")).gr_sum(E, w)
+    rel_h = np.abs(out_h - ref).max() / np.abs(ref).max()
+    assert rel_h < 1e-6, rel_h
+
+
+def test_dw_wrapper_still_serves_no_dw_providers(rng):
+    """Providers without a dw evaluation (wrapped, zero-lo) must keep
+    working now that the dw kernels pass E as a (hi, lo) pair."""
+    class NoDw:
+        def __init__(self, g):
+            self._g = g
+            self.F, self.S = g.F, g.S
+        def total_apply(self):
+            return self._g.total_apply()
+        def contact_apply(self, i):
+            return self._g.contact_apply(i)
+        def num_contacts(self):
+            return 2
+        def contact_inds(self, i=None):
+            return self._g.contact_inds(i)
+
+    from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
+    n = 24
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    g = NoDw(Chain1DSelfEnergy(H, S, [np.arange(2), np.arange(n - 2, n)],
+                               eta=1e-6))
+    E = np.linspace(-1, 1, 4) + 0.1j
+    out = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="high")).gr_sum(E, np.ones(4))
+    assert np.isfinite(out).all()
+    T = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="exact")).transmission(np.linspace(-1, 1, 4))
+    assert np.isfinite(T).all()
