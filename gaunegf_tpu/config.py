@@ -49,7 +49,12 @@ SURFACE_MAX_ITER_BETHE = 1000
 SURFACE_BETHE_MIX = 0.5
 
 # TPU execution parameters (new; no reference equivalent)
-DEFAULT_ENERGY_CHUNK = 32       # energies solved per device per jit step
+DEFAULT_ENERGY_CHUNK = 0        # energies solved per device per jit step;
+                                # 0 = auto: largest power of two with
+                                # ~72*N^2*chunk bytes of live solve
+                                # buffers under ~7 GB, clamped to [1, 32]
+                                # (32 up to N~1300, 16 at N=2000, 4 at
+                                # N=4000 -- the measured-optimal sizes)
 LU_BLOCK_SIZE = 0               # panel width for the blocked complex LU;
                                 # 0 = auto (256 for N >= 1536 else 128 --
                                 # measured crossover on TPU v5e, round 2)

@@ -964,6 +964,21 @@ def _unlayout_lane_major(vals, n):
     return flat[:n]
 
 
+def _auto_chunk_cfg(exec_cfg: ExecutionConfig, N: int) -> ExecutionConfig:
+    """Resolve energy_chunk=0: largest power-of-two chunk whose live solve
+    buffers (~72 N^2 bytes per lane: the [A|B] work pair, trailing copies
+    and the refinement operands) fit a ~7 GB budget, clamped to [1, 32].
+
+    Resolved once per engine so the frozen config keeps keying the
+    lru-cached engine builders."""
+    import dataclasses
+    budget = 7e9
+    chunk = 1
+    while chunk * 2 <= 32 and (chunk * 2) * 72 * N * N <= budget:
+        chunk *= 2
+    return dataclasses.replace(exec_cfg, energy_chunk=chunk)
+
+
 def _cdtype(exec_cfg):
     # x64 runtimes (CPU goldens / strict runs) use complex128; TPU runtimes
     # use complex64 with optional iterative refinement ('mixed').
@@ -982,6 +997,8 @@ class EnergyEngine:
     def __init__(self, H, S, provider, exec_cfg: ExecutionConfig = _DEFAULT_EXEC,
                  mesh: Optional[Mesh] = None):
         self.provider = provider
+        if not exec_cfg.energy_chunk:
+            exec_cfg = _auto_chunk_cfg(exec_cfg, np.asarray(H).shape[-1])
         self.exec_cfg = exec_cfg
         self.mesh = mesh
         self.high = exec_cfg.precision in ("high", "exact")

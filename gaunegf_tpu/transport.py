@@ -332,7 +332,7 @@ def calculate_transmission(F, S, sigma_source, energy_list, spin=None,
     if len(remaining):
         Fx, Sx, prov = _prep_spin(F, S, sigma_source, spin)
         eng = EnergyEngine(Fx, Sx, prov, exec_cfg, mesh)
-        batch = max(checkpoint_interval, exec_cfg.energy_chunk) \
+        batch = max(checkpoint_interval, eng.exec_cfg.energy_chunk) \
             if checkpoint_file else len(remaining)
         for idx in _batched_sweep(remaining, batch):
             E = energy_list[idx]
@@ -378,7 +378,7 @@ def calculate_dos(F, S, sigma_source, energy_list, spin=None,
     if len(remaining):
         Fx, Sx, prov = _prep_spin(F, S, sigma_source, spin)
         eng = EnergyEngine(Fx, Sx, prov, exec_cfg, mesh)
-        batch = max(checkpoint_interval, exec_cfg.energy_chunk) \
+        batch = max(checkpoint_interval, eng.exec_cfg.energy_chunk) \
             if checkpoint_file else len(remaining)
         if spin == "g":
             inv_perm = np.argsort(spinmod.spinor_block_perm(n_sites // 2))
