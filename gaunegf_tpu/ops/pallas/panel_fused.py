@@ -1,0 +1,239 @@
+"""Fused Pallas panel factorization: strips + deferred updates in VMEM.
+
+The XLA 'split' panel (zlinalg._factor_panel_split, the default) already
+narrows the rank-1 eliminations to 32-column strips with MXU inter-strip
+updates, but each elimination still crosses op boundaries and the panel
+re-streams between fusions.  This kernel runs the WHOLE panel
+factorization as one Pallas program: the transposed (bs, m) panel lives
+in VMEM refs, each elimination reads/writes single rows via dynamic
+sublane slices (pl.ds -- the formulation round 1's masked-select kernel
+lacked), and the deferred strip updates are two in-kernel MXU dots
+(pivot-lane extraction via a one-hot matmul + the L @ U12 update with the
+strip's unit-lower inverse from a log-doubling Neumann product).
+
+Virtual pivoting: the pivot SEQUENCE matches partial pivoting exactly
+(same argmax over the same candidates); rows are tracked with an
+availability mask instead of physical swaps, and the XLA wrapper composes
+the permutation and packs rows exactly like zlinalg._factor_panel_virtual.
+
+Complex data is carried as separate re/im f32 refs (the backend cannot
+tile complex); batch is the grid dimension.  Validated in interpreter
+mode against the XLA paths (tests/test_pallas_fused.py); enable with
+ExecutionConfig(lu_panel='fused') after on-device A/B.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+__all__ = ["factor_panel_fused", "HAVE_PALLAS"]
+
+STRIP = 32
+
+
+def _make_kernel(m: int, bs: int, strip: int):
+    n_strips = bs // strip
+
+    def kernel(ire_ref, iim_ref, ore_ref, oim_ref, opiv_ref):
+        lanes = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        rows_s = lax.broadcasted_iota(jnp.int32, (strip, 1), 0)
+        ore_ref[0] = ire_ref[0]
+        oim_ref[0] = iim_ref[0]
+        avail0 = jnp.ones((1, m), jnp.float32)
+
+        def eliminate(j_local, s0, carry):
+            avail, pivlane = carry
+            jg = s0 + j_local
+            cr = ore_ref[0, pl.ds(jg, 1), :]          # (1, m) row read
+            ci = oim_ref[0, pl.ds(jg, 1), :]
+            mag = jnp.where(avail > 0, cr * cr + ci * ci, -1.0)
+            p = jnp.argmax(mag[0, :])
+            onehot = (lanes == p).astype(jnp.float32)  # (1, m)
+            pr = jnp.sum(cr * onehot)
+            pi = jnp.sum(ci * onehot)
+            den = pr * pr + pi * pi
+            den = jnp.where(den == 0, 1.0, den)       # padded/singular guard
+            inv_r, inv_i = pr / den, -pi / den
+            keep = (avail > 0) & (onehot == 0)
+            lr = jnp.where(keep, cr * inv_r - ci * inv_i, 0.0)
+            li = jnp.where(keep, cr * inv_i + ci * inv_r, 0.0)
+
+            # rank-1 update of the strip rows BELOW j (within this strip)
+            sre = ore_ref[0, pl.ds(s0, strip), :]     # (strip, m)
+            sim = oim_ref[0, pl.ds(s0, strip), :]
+            below = rows_s > j_local                  # (strip, 1)
+            ur = jnp.sum(sre * onehot, axis=1, keepdims=True)  # (strip, 1)
+            ui = jnp.sum(sim * onehot, axis=1, keepdims=True)
+            ur = jnp.where(below, ur, 0.0)
+            ui = jnp.where(below, ui, 0.0)
+            sre_new = sre - (ur * lr - ui * li)
+            sim_new = sim - (ur * li + ui * lr)
+            # row j stores multipliers at available lanes, U values at used
+            keep_row = jnp.where(keep, lr, cr)
+            keep_row_i = jnp.where(keep, li, ci)
+            sel_j = rows_s == j_local
+            sre_new = jnp.where(sel_j, keep_row, sre_new)
+            sim_new = jnp.where(sel_j, keep_row_i, sim_new)
+            ore_ref[0, pl.ds(s0, strip), :] = sre_new
+            oim_ref[0, pl.ds(s0, strip), :] = sim_new
+
+            opiv_ref[0, pl.ds(jg, 1), 0] = p[None].astype(jnp.int32)
+            avail = jnp.where(onehot > 0, 0.0, avail)
+            pivlane = jnp.where((lax.broadcasted_iota(
+                jnp.int32, (strip, 1), 0) == j_local),
+                p.astype(jnp.float32), pivlane)
+            return avail, pivlane
+
+        avail = avail0
+        for s in range(n_strips):
+            s0 = s * strip
+            pivlane = jnp.zeros((strip, 1), jnp.float32)
+            avail, pivlane = lax.fori_loop(
+                0, strip, lambda j, c: eliminate(j, s0, c),
+                (avail, pivlane))
+
+            if s == n_strips - 1:
+                break
+            # deferred update of the remaining strips (MXU):
+            #   onehotP[k, lane] = 1 at pivot lane of elimination k
+            onehotP = (lax.broadcasted_iota(jnp.int32, (strip, m), 1)
+                       == pivlane.astype(jnp.int32)).astype(jnp.float32)
+            sre = ore_ref[0, pl.ds(s0, strip), :]
+            sim = oim_ref[0, pl.ds(s0, strip), :]
+            # L21 = multipliers at the STILL-available lanes (avail already
+            # excludes this strip's and all earlier strips' pivot lanes;
+            # the strictly-lower L11 entries live at this strip's pivot
+            # lanes and must NOT join the trailing rank update)
+            Lre = jnp.where(avail > 0, sre, 0.0)
+            Lim = jnp.where(avail > 0, sim, 0.0)
+            # G[j, k] = (strip row j) at pivot lane of elimination k;
+            # L11_true[j, k] = G[k, j] for j > k (unit lower)
+            Gr = jnp.dot(sre, onehotP.T, preferred_element_type=jnp.float32)
+            Gi = jnp.dot(sim, onehotP.T, preferred_element_type=jnp.float32)
+            tri = (rows_s > rows_s.T).astype(jnp.float32)   # j > k
+            L11r = Gr.T * tri + jnp.eye(strip, dtype=jnp.float32)
+            L11i = Gi.T * tri
+            Xr, Xi = _cinv_unit_lower(L11r, L11i)
+
+            rest = bs - s0 - strip
+            rre = ore_ref[0, pl.ds(s0 + strip, rest), :]
+            rim = oim_ref[0, pl.ds(s0 + strip, rest), :]
+            # U12^T = rest-values at this strip's pivot lanes: (rest, strip)
+            Ur = jnp.dot(rre, onehotP.T, preferred_element_type=jnp.float32)
+            Ui = jnp.dot(rim, onehotP.T, preferred_element_type=jnp.float32)
+            # forward substitution: U12^T <- U12^T @ Linv^T
+            Wr = jnp.dot(Ur, Xr.T, preferred_element_type=jnp.float32) \
+                - jnp.dot(Ui, Xi.T, preferred_element_type=jnp.float32)
+            Wi = jnp.dot(Ur, Xi.T, preferred_element_type=jnp.float32) \
+                + jnp.dot(Ui, Xr.T, preferred_element_type=jnp.float32)
+            # trailing update: rest -= W @ L_strip
+            rre_new = rre - (jnp.dot(Wr, Lre,
+                                     preferred_element_type=jnp.float32)
+                             - jnp.dot(Wi, Lim,
+                                       preferred_element_type=jnp.float32))
+            rim_new = rim - (jnp.dot(Wr, Lim,
+                                     preferred_element_type=jnp.float32)
+                             + jnp.dot(Wi, Lre,
+                                       preferred_element_type=jnp.float32))
+            # write back W into the rest rows' pivot lanes (they become
+            # the U12 values): rest_lanes at pivots = W
+            rre_new = rre_new + jnp.dot(
+                Wr, onehotP, preferred_element_type=jnp.float32) \
+                - jnp.dot(Ur, onehotP, preferred_element_type=jnp.float32)
+            rim_new = rim_new + jnp.dot(
+                Wi, onehotP, preferred_element_type=jnp.float32) \
+                - jnp.dot(Ui, onehotP, preferred_element_type=jnp.float32)
+            ore_ref[0, pl.ds(s0 + strip, rest), :] = rre_new
+            oim_ref[0, pl.ds(s0 + strip, rest), :] = rim_new
+
+    return kernel
+
+
+def _cinv_unit_lower(Lr, Li):
+    """Complex unit-lower inverse via the real log-doubling Neumann form."""
+    n = Lr.shape[-1]
+    eye = jnp.eye(n, dtype=jnp.float32)
+    Nr = eye - Lr
+    Ni = -Li
+    Xr, Xi = eye + Nr, Ni
+    Pr, Pi = Nr, Ni
+    steps = int(np.ceil(np.log2(max(n, 2))))
+    for _ in range(steps - 1):
+        Pr2 = jnp.dot(Pr, Pr, preferred_element_type=jnp.float32) \
+            - jnp.dot(Pi, Pi, preferred_element_type=jnp.float32)
+        Pi2 = jnp.dot(Pr, Pi, preferred_element_type=jnp.float32) \
+            + jnp.dot(Pi, Pr, preferred_element_type=jnp.float32)
+        Xr2 = Xr + jnp.dot(Xr, Pr2, preferred_element_type=jnp.float32) \
+            - jnp.dot(Xi, Pi2, preferred_element_type=jnp.float32)
+        Xi2 = Xi + jnp.dot(Xr, Pi2, preferred_element_type=jnp.float32) \
+            + jnp.dot(Xi, Pr2, preferred_element_type=jnp.float32)
+        Xr, Xi, Pr, Pi = Xr2, Xi2, Pr2, Pi2
+    return Xr, Xi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factor_panel_fused(panel, interpret: bool = False):
+    """Virtually-pivoted fused panel factorization.
+
+    panel: (..., m, bs) complex64.  Returns (packed rows in pivoted order,
+    perm) with the zlinalg._factor_panel contract."""
+    if panel.ndim == 2:
+        panel = panel[None]
+        squeeze = True
+    else:
+        squeeze = False
+    B, m, bs = panel.shape
+    strip = min(STRIP, bs)
+    pre = jnp.real(panel).astype(jnp.float32)
+    pim = jnp.imag(panel).astype(jnp.float32)
+    # transposed layout in the kernel
+    tre = jnp.swapaxes(pre, -1, -2)
+    tim = jnp.swapaxes(pim, -1, -2)
+
+    ore, oim, opiv = pl.pallas_call(
+        _make_kernel(m, bs, strip),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, bs, m), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, bs, m), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bs, m), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, bs, m), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, bs, 1), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, bs, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, bs, m), jnp.float32),
+            jax.ShapeDtypeStruct((B, bs, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tre, tim)
+
+    pt = ore + 1j * oim                               # (B, bs, m)
+    pivrows = opiv[..., 0]                            # (B, bs)
+
+    def pack_one(pt_b, piv_b):
+        if m > bs:
+            used = jnp.zeros((m,), bool).at[piv_b].set(True)
+            rest = jnp.where(~used, size=m - bs)[0].astype(jnp.int32)
+            perm = jnp.concatenate([piv_b.astype(jnp.int32), rest])
+        else:
+            perm = piv_b.astype(jnp.int32)
+        return jnp.swapaxes(pt_b, -1, -2)[perm, :], perm
+
+    packed, perm = jax.vmap(pack_one)(pt, pivrows)
+    if squeeze:
+        return packed[0], perm[0]
+    return packed, perm

@@ -418,6 +418,9 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
         if panel_impl == "pallas":
             from gaunegf_tpu.ops.pallas.panel_lu import factor_panel_pallas
             panel, perm = factor_panel_pallas(panel)
+        elif panel_impl == "fused":
+            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
+            panel, perm = factor_panel_fused(panel)
         elif panel_impl == "virtual":
             panel, perm = _factor_panel_virtual(panel)
         elif panel_impl == "split":
