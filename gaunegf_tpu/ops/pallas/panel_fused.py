@@ -42,6 +42,7 @@ __all__ = ["factor_panel_fused", "HAVE_PALLAS"]
 STRIP = 32
 
 
+
 def _make_kernel(m: int, bs: int, strip: int):
     n_strips = bs // strip
 
@@ -52,8 +53,16 @@ def _make_kernel(m: int, bs: int, strip: int):
         oim_ref[0] = iim_ref[0]
         avail0 = jnp.ones((1, m), jnp.float32)
 
+        def _dg_m(a, b):
+            # a (r, m) x b (k, m) -> (r, k), contracting the m axes
+            # (equivalent to a @ b.T without materializing a transpose)
+            return lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+
         def eliminate(j_local, s0, carry):
-            avail, pivlane = carry
+            avail, pivrow = carry
             jg = s0 + j_local
             cr = ore_ref[0, pl.ds(jg, 1), :]          # (1, m) row read
             ci = oim_ref[0, pl.ds(jg, 1), :]
@@ -90,25 +99,30 @@ def _make_kernel(m: int, bs: int, strip: int):
 
             opiv_ref[0, pl.ds(jg, 1), 0] = p[None].astype(jnp.int32)
             avail = jnp.where(onehot > 0, 0.0, avail)
-            pivlane = jnp.where((lax.broadcasted_iota(
-                jnp.int32, (strip, 1), 0) == j_local),
-                p.astype(jnp.float32), pivlane)
-            return avail, pivlane
+            pf = p.astype(jnp.float32)
+            pivrow = jnp.where(rows_s == j_local, pf, pivrow)   # (strip, 1)
+            return avail, pivrow
 
         avail = avail0
         for s in range(n_strips):
             s0 = s * strip
-            pivlane = jnp.zeros((strip, 1), jnp.float32)
-            avail, pivlane = lax.fori_loop(
+            pivrow0 = jnp.zeros((strip, 1), jnp.float32)
+            avail, pivrow = lax.fori_loop(
                 0, strip, lambda j, c: eliminate(j, s0, c),
-                (avail, pivlane))
+                (avail, pivrow0))
 
             if s == n_strips - 1:
                 break
-            # deferred update of the remaining strips (MXU):
-            #   onehotP[k, lane] = 1 at pivot lane of elimination k
+            # deferred update of the remaining strips (MXU).  Mosaic
+            # miscompiled both explicit .T relayouts and a second
+            # (m, strip) one-hot layout here (bisected on device), so the
+            # ONLY pivot-lane object is onehotP (strip, m) -- built from
+            # the opiv ref, the same source the returned permutation uses
+            # -- and every "transposed" product is a dot_general
+            # contracting the m axes directly.
+            piv_s = opiv_ref[0, pl.ds(s0, strip), :]            # (strip, 1)
             onehotP = (lax.broadcasted_iota(jnp.int32, (strip, m), 1)
-                       == pivlane.astype(jnp.int32)).astype(jnp.float32)
+                       == piv_s).astype(jnp.float32)
             sre = ore_ref[0, pl.ds(s0, strip), :]
             sim = oim_ref[0, pl.ds(s0, strip), :]
             # L21 = multipliers at the STILL-available lanes (avail already
@@ -117,51 +131,69 @@ def _make_kernel(m: int, bs: int, strip: int):
             # lanes and must NOT join the trailing rank update)
             Lre = jnp.where(avail > 0, sre, 0.0)
             Lim = jnp.where(avail > 0, sim, 0.0)
-            # G[j, k] = (strip row j) at pivot lane of elimination k;
-            # L11_true[j, k] = G[k, j] for j > k (unit lower)
-            Gr = jnp.dot(sre, onehotP.T, preferred_element_type=jnp.float32)
-            Gi = jnp.dot(sim, onehotP.T, preferred_element_type=jnp.float32)
-            tri = (rows_s > rows_s.T).astype(jnp.float32)   # j > k
-            L11r = Gr.T * tri + jnp.eye(strip, dtype=jnp.float32)
-            L11i = Gi.T * tri
-            Xr, Xi = _cinv_unit_lower(L11r, L11i)
+            # G[j, k] = (strip row j) at pivot lane of elimination k; the
+            # unit-lower L11 satisfies L11[j, k] = G[k, j] (j > k), so
+            # G's strictly-UPPER part is L11^T and the substitution below
+            # right-multiplies by inv(L11^T) = inv(I + upper(G)) directly
+            Gr = _dg_m(sre, onehotP)
+            Gi = _dg_m(sim, onehotP)
+            upper = (lax.broadcasted_iota(jnp.int32, (strip, strip), 0)
+                     < lax.broadcasted_iota(jnp.int32, (strip, strip),
+                                            1)).astype(jnp.float32)
+            L11Tr = Gr * upper + jnp.eye(strip, dtype=jnp.float32)
+            L11Ti = Gi * upper
+            XTr, XTi = _cinv_unit_nilpotent(L11Tr, L11Ti)
 
             rest = bs - s0 - strip
             rre = ore_ref[0, pl.ds(s0 + strip, rest), :]
             rim = oim_ref[0, pl.ds(s0 + strip, rest), :]
             # U12^T = rest-values at this strip's pivot lanes: (rest, strip)
-            Ur = jnp.dot(rre, onehotP.T, preferred_element_type=jnp.float32)
-            Ui = jnp.dot(rim, onehotP.T, preferred_element_type=jnp.float32)
-            # forward substitution: U12^T <- U12^T @ Linv^T
-            Wr = jnp.dot(Ur, Xr.T, preferred_element_type=jnp.float32) \
-                - jnp.dot(Ui, Xi.T, preferred_element_type=jnp.float32)
-            Wi = jnp.dot(Ur, Xi.T, preferred_element_type=jnp.float32) \
-                + jnp.dot(Ui, Xr.T, preferred_element_type=jnp.float32)
+            Ur = _dg_m(rre, onehotP)
+            Ui = _dg_m(rim, onehotP)
+            # forward substitution: U12^T = U12^T_raw @ inv(L11^T)
+            Wr = jnp.dot(Ur, XTr, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+                - jnp.dot(Ui, XTi, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            Wi = jnp.dot(Ur, XTi, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+                + jnp.dot(Ui, XTr, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
             # trailing update: rest -= W @ L_strip
             rre_new = rre - (jnp.dot(Wr, Lre,
-                                     preferred_element_type=jnp.float32)
+                                     precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
                              - jnp.dot(Wi, Lim,
-                                       preferred_element_type=jnp.float32))
+                                       precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32))
             rim_new = rim - (jnp.dot(Wr, Lim,
-                                     preferred_element_type=jnp.float32)
+                                     precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
                              + jnp.dot(Wi, Lre,
-                                       preferred_element_type=jnp.float32))
+                                       precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32))
             # write back W into the rest rows' pivot lanes (they become
             # the U12 values): rest_lanes at pivots = W
             rre_new = rre_new + jnp.dot(
-                Wr, onehotP, preferred_element_type=jnp.float32) \
-                - jnp.dot(Ur, onehotP, preferred_element_type=jnp.float32)
+                Wr, onehotP, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+                - jnp.dot(Ur, onehotP, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
             rim_new = rim_new + jnp.dot(
-                Wi, onehotP, preferred_element_type=jnp.float32) \
-                - jnp.dot(Ui, onehotP, preferred_element_type=jnp.float32)
+                Wi, onehotP, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+                - jnp.dot(Ui, onehotP, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
             ore_ref[0, pl.ds(s0 + strip, rest), :] = rre_new
             oim_ref[0, pl.ds(s0 + strip, rest), :] = rim_new
+
 
     return kernel
 
 
-def _cinv_unit_lower(Lr, Li):
-    """Complex unit-lower inverse via the real log-doubling Neumann form."""
+def _cinv_unit_nilpotent(Lr, Li):
+    """Complex inverse of I + N (N nilpotent triangular), log-doubling
+    Neumann product -- works for either triangle, no transposes."""
     n = Lr.shape[-1]
     eye = jnp.eye(n, dtype=jnp.float32)
     Nr = eye - Lr
@@ -170,14 +202,22 @@ def _cinv_unit_lower(Lr, Li):
     Pr, Pi = Nr, Ni
     steps = int(np.ceil(np.log2(max(n, 2))))
     for _ in range(steps - 1):
-        Pr2 = jnp.dot(Pr, Pr, preferred_element_type=jnp.float32) \
-            - jnp.dot(Pi, Pi, preferred_element_type=jnp.float32)
-        Pi2 = jnp.dot(Pr, Pi, preferred_element_type=jnp.float32) \
-            + jnp.dot(Pi, Pr, preferred_element_type=jnp.float32)
-        Xr2 = Xr + jnp.dot(Xr, Pr2, preferred_element_type=jnp.float32) \
-            - jnp.dot(Xi, Pi2, preferred_element_type=jnp.float32)
-        Xi2 = Xi + jnp.dot(Xr, Pi2, preferred_element_type=jnp.float32) \
-            + jnp.dot(Xi, Pr2, preferred_element_type=jnp.float32)
+        Pr2 = jnp.dot(Pr, Pr, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+            - jnp.dot(Pi, Pi, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        Pi2 = jnp.dot(Pr, Pi, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+            + jnp.dot(Pi, Pr, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        Xr2 = Xr + jnp.dot(Xr, Pr2, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+            - jnp.dot(Xi, Pi2, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        Xi2 = Xi + jnp.dot(Xr, Pi2, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32) \
+            + jnp.dot(Xi, Pr2, precision=lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
         Xr, Xi, Pr, Pi = Xr2, Xi2, Pr2, Pi2
     return Xr, Xi
 
