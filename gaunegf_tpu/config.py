@@ -119,6 +119,12 @@ class ExecutionConfig:
     #   VMEM-resident kernel (experimental).  All produce the identical
     #   partial-pivot sequence.
     lu_panel: str = "split"
+    # distribute the LU factorization itself over the 'm' mesh axis
+    # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
+    # panel).  Off by default: the replicated LU has no broadcast latency
+    # on the critical path and wins at single-chip-fitting sizes; turn on
+    # for N >~ 8k junctions (needs N/lu_block divisible by the m size).
+    distribute_lu: bool = False
     # low-rank contact fast path: transmission/G< solve only the contact
     # columns of G (LU cost unchanged, triangular solves shrink N->nc).
     # Neglects the -1j*1e-9*S broadening background's Gamma (~1e-9 rel).

@@ -265,7 +265,8 @@ def _point_gr_weighted_cols(E, w, H, S, params, sig_tot_fn, n_shards,
         if (exec_cfg.precision == "mixed" and A.dtype == jnp.complex64) else 0
     X = zl.zinv_refined_cols(A, n_shards, steps=steps, axis_name=MODEL_AXIS,
                              bs=exec_cfg.lu_block,
-                             panel_impl=exec_cfg.lu_panel)
+                             panel_impl=exec_cfg.lu_panel,
+                             distribute_lu=exec_cfg.distribute_lu)
     return (w * X).astype(H.dtype)
 
 

@@ -47,6 +47,7 @@ from jax import lax
 
 __all__ = [
     "zsolve", "zinv", "zinv_refined", "zinv_refined_cols",
+    "zsolve_dist",
     "inv", "solve", "eigh", "eig", "fractional_matrix_power",
     "matmul_hp", "matmul_hp3", "supports_lapack_complex",
 ]
@@ -869,14 +870,16 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
 
 def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
                       axis_name: str = "m", bs: int | None = None,
-                      panel_impl: str = "split"):
+                      panel_impl: str = "split", distribute_lu: bool = False):
     """Column-sharded refined inverse for the model ('m') mesh axis.
 
     Must run inside shard_map over ``axis_name`` with ``n_shards`` ranks.
-    Each rank factors A (replicated -- the O(N^3/3) LU is not distributed
-    yet; block-cyclic factorization is the N>~8k follow-up) but solves and
-    refines only its N/n_shards identity columns, so the dominant
-    solve + residual + correction work divides across the axis.  Newton's
+    Each rank solves and refines only its N/n_shards identity columns, so
+    the dominant solve + residual + correction work divides across the
+    axis.  The factorization itself is replicated by default (lowest
+    latency at single-chip-fitting sizes); ``distribute_lu=True`` routes
+    through ``zsolve_dist`` so the O(N^3/3) trailing updates divide too
+    (the N >~ 8k path; needs N/bs divisible by n_shards).  Newton's
     correction needs the full current iterate: ONE all_gather of X per
     refinement step (~N^2 * 8 B over ICI); with steps=0 ('fast' tier) the
     only collective is the caller's final gather of the result.
@@ -892,12 +895,117 @@ def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
     rows = lax.broadcasted_iota(jnp.int32, (N, w), 0)
     cols = lax.broadcasted_iota(jnp.int32, (N, w), 1)
     I_cols = (rows == cols + rank * w).astype(A.dtype)
-    X = zsolve(A, I_cols, method="blocked", bs=bs, panel_impl=panel_impl)
+    if distribute_lu:
+        X = zsolve_dist(A, I_cols, n_shards, axis_name=axis_name, bs=bs,
+                        panel_impl=panel_impl)
+    else:
+        X = zsolve(A, I_cols, method="blocked", bs=bs,
+                   panel_impl=panel_impl)
     for _ in range(steps):
         R = I_cols - matmul_hp3(A, X)
         rmax = lax.pmax(jnp.max(jnp.abs(R)), axis_name)
         Xf = lax.all_gather(X, axis_name, axis=1, tiled=True)
         X = jnp.where(rmax < 0.5, X + _mm(Xf, R), X)
+    return X
+
+
+def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
+                bs: int | None = None, panel_impl: str = "split"):
+    """Distributed blocked solve over the model axis: the O(N^3) trailing
+    updates shard across ranks; panels stay serial (the ScaLAPACK
+    right-looking shape).  Must run inside shard_map over ``axis_name``.
+
+    Layout: A arrives replicated; each rank slices out the PANEL-CYCLIC
+    column blocks it owns (panel kb belongs to rank kb % M, so the
+    triangular update volume balances).  Per panel: every rank factors
+    its own local panel slot redundantly (the sequential panel work is
+    the cheap part), ONE psum-broadcast selects the owner's valid
+    factorization, and each rank eliminates only its ~W/M local columns.
+    The U12 row blocks are psum-assembled into replicated (bs, N) rows so
+    the back substitution of the rank-local RHS runs without further
+    collectives.  Total communication ~1.5 N^2 * 8 B per factorization.
+
+    B_cols is the rank's local RHS slice; returns the rank's (N, k)
+    solution block of A X = B.  This is the N >~ 8k scaling path --
+    unlike zinv_refined_cols (which replicates the LU), the
+    factorization flops divide by M here, at the price of per-panel
+    broadcast latency on the critical path.
+    """
+    N = A.shape[-1]
+    k = B_cols.shape[-1]
+    bs = _pick_block(N, bs)
+    M = n_shards
+    if (N % bs) or ((N // bs) % M):
+        raise ValueError(f"N={N} needs nb=N/bs divisible by m={M} "
+                         f"(bs={bs}) for the panel-cyclic layout")
+    nb = N // bs
+    nbl = nb // M
+    rank = lax.axis_index(axis_name)
+
+    # rank-local panel-cyclic columns: local block j <-> global panel
+    # g(j) = rank + j*M
+    zero = jnp.zeros((), rank.dtype)
+    blocks = [lax.dynamic_slice(A, (zero, (rank + j * M) * bs), (N, bs))
+              for j in range(nbl)]
+    A_loc = jnp.concatenate(blocks, axis=1)            # (N, nbl*bs)
+    workB = B_cols
+
+    def bcast(x, owner):
+        sel = (rank == owner)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return lax.psum(jnp.where(sel, x, 0), axis_name)
+        return lax.psum(jnp.where(sel, x, jnp.zeros_like(x)), axis_name)
+
+    factors = []
+    u12_rows = []
+    for kb in range(nb):
+        r0 = kb * bs
+        owner, lj = kb % M, kb // M
+        pan = A_loc[r0:, lj * bs:(lj + 1) * bs]
+        if panel_impl == "virtual":
+            packed_l, perm_l = _factor_panel_virtual(pan)
+        else:
+            packed_l, perm_l = _factor_panel_split(pan)
+        packed = bcast(packed_l, owner)
+        perm = bcast(perm_l.astype(jnp.int32), owner)
+        L11 = jnp.tril(packed[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
+        Linv = _tri_inv_fast(L11, lower=True, unit=True)
+        L21 = packed[bs:, :]
+        factors.append((Linv, L21, perm, jnp.triu(packed[:bs, :])))
+
+        # eliminate the rank's local columns belonging to LATER panels
+        rest = A_loc[r0:, :][perm, :]
+        U12 = _mm(Linv, rest[:bs, :])
+        tail = rest[bs:, :] - _mm(L21, U12)
+        upd = jnp.concatenate([A_loc[:r0, :], U12, tail], axis=0)
+        lcol = lax.broadcasted_iota(jnp.int32, (1, nbl * bs), 1)
+        gpanel = rank + (lcol // bs) * M
+        A_loc = jnp.where(gpanel > kb, upd, A_loc)
+
+        # RHS forward substitution (local columns, unconditional)
+        restB = workB[r0:, :][perm, :]
+        U12B = _mm(Linv, restB[:bs, :])
+        workB = jnp.concatenate(
+            [workB[:r0, :], U12B, restB[bs:, :] - _mm(L21, U12B)], axis=0)
+
+        # assemble this panel's replicated (bs, N) U12 row block
+        Z = jnp.zeros((bs, N), dtype=A.dtype)
+        for j in range(nbl):
+            piece = jnp.where(rank + j * M > kb,
+                              upd[r0:r0 + bs, j * bs:(j + 1) * bs], 0.0)
+            Z = lax.dynamic_update_slice(Z, piece,
+                                         (zero, (rank + j * M) * bs))
+        u12_rows.append(lax.psum(Z, axis_name))
+
+    # back substitution on the local RHS columns (factors replicated)
+    Uinv = _tri_inv_fast(jnp.stack([f[3] for f in factors]),
+                         lower=False, unit=False)
+    X = jnp.zeros((0, k), dtype=B_cols.dtype)
+    for ib in range(nb - 1, -1, -1):
+        acc = workB[ib * bs:(ib + 1) * bs, :]
+        if X.shape[0] > 0:
+            acc = acc - _mm(u12_rows[ib][:, (ib + 1) * bs:], X)
+        X = jnp.concatenate([_mm(Uinv[ib], acc), X], axis=0)
     return X
 
 

@@ -101,3 +101,42 @@ def test_zinv_refined_cols_direct(rng):
     X_ref = np.linalg.inv(A.astype(np.complex128))
     err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
     assert err < 5e-6, err
+
+
+@pytest.mark.parametrize("m", [2, 4])
+def test_zsolve_dist_matches_serial(rng, m):
+    """Distributed-LU solve (panel-cyclic columns, one broadcast per
+    panel) == LAPACK, on the CPU mesh."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gaunegf_tpu.ops import zlinalg as zl
+
+    N, bs, k = 128, 16, 64
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.2 + 0.1j) * np.eye(N)).astype(np.complex64)
+    B = (rng.standard_normal((N, k))
+         + 1j * rng.standard_normal((N, k))).astype(np.complex64)
+    mesh = energy_mesh(model_parallel=m)
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh,
+                  in_specs=(P(), P(None, MODEL_AXIS)),
+                  out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
+                                                 jnp.asarray(B))
+    X_ref = np.linalg.solve(A.astype(np.complex128),
+                            B.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-6, err
+
+
+def test_gr_sum_distributed_lu_matches_serial(rng):
+    """End-to-end: the mp engine with distribute_lu=True == serial."""
+    N = 64
+    H, S, g = _system(N, rng)
+    E = np.linspace(-2, 2, 8) + 0.05j
+    w = np.ones(8)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4, lu_block=16,
+                          distribute_lu=True)
+    serial = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, lu_block=16), mesh=None).gr_sum(E, w)
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=2)).gr_sum(E, w)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
