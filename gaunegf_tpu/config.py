@@ -115,8 +115,10 @@ class ExecutionConfig:
     #   updates run as MXU matmuls (measured +53% at N=1000, 5-7x at
     #   N=2000 over 'virtual', round 2); 'virtual': transposed-layout
     #   virtually-pivoted panel (no lane-dim dynamic indexing, the
-    #   round-1 default); 'xla': swap-based fused loop; 'pallas':
-    #   VMEM-resident kernel (experimental).  All produce the identical
+    #   round-1 default); 'xla': swap-based fused loop; 'fused':
+    #   single-Pallas-program panel (device-correct; loses the round-2
+    #   A/B to 'split' but compiles ~4x faster); 'pallas': the round-1
+    #   masked-select kernel (experimental).  All produce the identical
     #   partial-pivot sequence.
     lu_panel: str = "split"
     # distribute the LU factorization itself over the 'm' mesh axis

@@ -161,7 +161,7 @@ def _chain_total_fn(static_key):
 # ---------------------------------------------------------------------------
 
 def surface_g_sancho_dw(A_dw, B_dw, conv=SURFACE_GREEN_CONVERGENCE,
-                        max_iter=32, inv_steps=2, exact_steps=1):
+                        max_iter=64, inv_steps=2, exact_steps=1):
     """Sancho-Rubio decimation carried in double-word (hi, lo) arithmetic.
 
     Removes the single-word-Sigma floor (~6e-8 from evaluating the fixed
@@ -268,6 +268,14 @@ class Chain1DSelfEnergy(_CompatMixin):
         self.method = method
         self.conv = float(conv)
         self.fermi_list = [None] * len(self.inds_list)
+        if method == "dyson":
+            # no double-word evaluation for the reference-faithful Dyson
+            # fixed point: shadow the class methods so the engines fall
+            # back to the wrapped single-word sigma (high/exact tiers then
+            # floor at the provider's f32 evaluation instead of silently
+            # switching to Sancho decimation)
+            self.total_apply_dw = None
+            self.contact_apply_dw = None
 
         if taus is None:
             taus = [self.inds_list[-1], self.inds_list[0]]
@@ -369,6 +377,11 @@ class Chain1DSelfEnergy(_CompatMixin):
         return _chain_contact_fn(self._static_key(), i), self.params()
 
     # --- double-word API ('high'/'exact' tiers) -----------------------
+    # Only the Sancho-Rubio method has a double-word evaluation; the
+    # reference-faithful 'dyson' mode disables it in __init__ so the
+    # engine falls back to the wrapped single-word sigma (the tier then
+    # floors at the provider's f32 evaluation, honestly, instead of
+    # silently switching fixed-point algorithms).
     def params_dw(self):
         """Exact two-float split of every contact block (the chain's
         parameters are known in f64 on the host, so the split is exact --

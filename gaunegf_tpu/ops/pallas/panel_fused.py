@@ -71,11 +71,13 @@ def _make_kernel(m: int, bs: int, strip: int):
                     preferred_element_type=jnp.float32)
 
         def eliminate(j_local, s0, carry):
-            avail, pivrow = carry
+            avail = carry
             jg = s0 + j_local
             cr = ore_ref[0, pl.ds(jg, 1), :]          # (1, m) row read
             ci = oim_ref[0, pl.ds(jg, 1), :]
-            mag = jnp.where(avail > 0, cr * cr + ci * ci, -1.0)
+            # hypot matches jnp.abs's pivot ordering without the
+            # overflow/underflow of the naive square
+            mag = jnp.where(avail > 0, jnp.hypot(cr, ci), -1.0)
             p = jnp.argmax(mag[0, :])
             onehot = (lanes == p).astype(jnp.float32)  # (1, m)
             pr = jnp.sum(cr * onehot)
@@ -108,17 +110,13 @@ def _make_kernel(m: int, bs: int, strip: int):
 
             opiv_ref[0, pl.ds(jg, 1), 0] = p[None].astype(jnp.int32)
             avail = jnp.where(onehot > 0, 0.0, avail)
-            pf = p.astype(jnp.float32)
-            pivrow = jnp.where(rows_s == j_local, pf, pivrow)   # (strip, 1)
-            return avail, pivrow
+            return avail
 
         avail = avail0
         for s in range(n_strips):
             s0 = s * strip
-            pivrow0 = jnp.zeros((strip, 1), jnp.float32)
-            avail, pivrow = lax.fori_loop(
-                0, strip, lambda j, c: eliminate(j, s0, c),
-                (avail, pivrow0))
+            avail = lax.fori_loop(
+                0, strip, lambda j, c: eliminate(j, s0, c), avail)
 
             if s == n_strips - 1:
                 break
@@ -244,6 +242,9 @@ def factor_panel_fused(panel, interpret: bool = False):
         squeeze = False
     B, m, bs = panel.shape
     strip = min(STRIP, bs)
+    if bs % strip:
+        raise ValueError(f"panel width bs={bs} must be a multiple of the "
+                         f"strip width {strip}")
     pre = jnp.real(panel).astype(jnp.float32)
     pim = jnp.imag(panel).astype(jnp.float32)
     # transposed layout in the kernel

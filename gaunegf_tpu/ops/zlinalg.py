@@ -956,7 +956,7 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
             return lax.psum(jnp.where(sel, x, 0), axis_name)
         return lax.psum(jnp.where(sel, x, jnp.zeros_like(x)), axis_name)
 
-    factors = []
+    u_diags = []
     u12_rows = []
     for kb in range(nb):
         r0 = kb * bs
@@ -964,14 +964,28 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
         pan = A_loc[r0:, lj * bs:(lj + 1) * bs]
         if panel_impl == "virtual":
             packed_l, perm_l = _factor_panel_virtual(pan)
-        else:
+        elif panel_impl == "split":
             packed_l, perm_l = _factor_panel_split(pan)
+        else:
+            raise ValueError(
+                f"zsolve_dist supports panel_impl 'split'/'virtual', "
+                f"got {panel_impl!r}")
         packed = bcast(packed_l, owner)
         perm = bcast(perm_l.astype(jnp.int32), owner)
         L11 = jnp.tril(packed[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
         Linv = _tri_inv_fast(L11, lower=True, unit=True)
         L21 = packed[bs:, :]
-        factors.append((Linv, L21, perm, jnp.triu(packed[:bs, :])))
+        u_diags.append(jnp.triu(packed[:bs, :]))
+
+        # RHS forward substitution (local columns, every panel)
+        restB = workB[r0:, :][perm, :]
+        U12B = _mm(Linv, restB[:bs, :])
+        workB = jnp.concatenate(
+            [workB[:r0, :], U12B, restB[bs:, :] - _mm(L21, U12B)], axis=0)
+
+        if kb == nb - 1:        # no trailing columns left
+            u12_rows.append(None)
+            break
 
         # eliminate the rank's local columns belonging to LATER panels
         rest = A_loc[r0:, :][perm, :]
@@ -981,12 +995,6 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
         lcol = lax.broadcasted_iota(jnp.int32, (1, nbl * bs), 1)
         gpanel = rank + (lcol // bs) * M
         A_loc = jnp.where(gpanel > kb, upd, A_loc)
-
-        # RHS forward substitution (local columns, unconditional)
-        restB = workB[r0:, :][perm, :]
-        U12B = _mm(Linv, restB[:bs, :])
-        workB = jnp.concatenate(
-            [workB[:r0, :], U12B, restB[bs:, :] - _mm(L21, U12B)], axis=0)
 
         # assemble this panel's replicated (bs, N) U12 row block
         Z = jnp.zeros((bs, N), dtype=A.dtype)
@@ -998,8 +1006,7 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
         u12_rows.append(lax.psum(Z, axis_name))
 
     # back substitution on the local RHS columns (factors replicated)
-    Uinv = _tri_inv_fast(jnp.stack([f[3] for f in factors]),
-                         lower=False, unit=False)
+    Uinv = _tri_inv_fast(jnp.stack(u_diags), lower=False, unit=False)
     X = jnp.zeros((0, k), dtype=B_cols.dtype)
     for ib in range(nb - 1, -1, -1):
         acc = workB[ib * bs:(ib + 1) * bs, :]

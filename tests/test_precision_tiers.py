@@ -207,3 +207,21 @@ def test_dw_wrapper_still_serves_no_dw_providers(rng):
     T = EnergyEngine(H, S, g, ExecutionConfig(
         precision="exact")).transmission(np.linspace(-1, 1, 4))
     assert np.isfinite(T).all()
+
+
+def test_dyson_mode_has_no_dw_and_falls_back(rng):
+    """method='dyson' providers must NOT silently switch to Sancho on the
+    dw tiers: the dw API is disabled and the engine wraps the single-word
+    sigma instead."""
+    from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
+
+    n = 16
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    g = Chain1DSelfEnergy(H, S, [np.arange(2), np.arange(n - 2, n)],
+                          eta=1e-6, method="dyson")
+    assert g.total_apply_dw is None and g.contact_apply_dw is None
+    eng = EnergyEngine(H, S, g, ExecutionConfig(precision="high"))
+    assert not eng._has_dw_sigma()
+    out = eng.gr_sum(np.linspace(-1, 1, 4) + 0.1j, np.ones(4))
+    assert np.isfinite(out).all()
