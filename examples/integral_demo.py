@@ -26,7 +26,7 @@ def main():
 
     # --- energy-independent (analytic) SCF --------------------------------
     t0 = time.time()
-    negf = NEGF(make_backend(n), name="demo_negf", verbose=False)
+    negf = NEGF(make_backend(n), name="/tmp/demo_negf", verbose=False)
     negf.setSigma([1, 2], [n - 1, n], sig=-0.1j)
     negf.setVoltage(0.0)                       # Fermi search each cycle
     negf.SCF(conv=1e-4, damping=0.05, max_cycles=200)
@@ -37,7 +37,7 @@ def main():
 
     # --- energy-dependent (contour) SCF -----------------------------------
     t0 = time.time()
-    negfe = NEGFE(make_backend(n), name="demo_negfe", verbose=False)
+    negfe = NEGFE(make_backend(n), name="/tmp/demo_negfe", verbose=False)
     negfe.setSigma([1, 2], [n - 1, n], sig=-0.1j, T=0)
     negfe.setIntegralLimits(N1=128, N2=64)
     negfe.setVoltage(0.0, fermi_method="secant")

@@ -43,7 +43,7 @@ def main():
     H0 = -1.0 * (np.eye(n_dev, k=1) + np.eye(n_dev, k=-1))
     backend = TightBindingFock(H0, n_electrons=n_dev, U=0.3,
                                n0=0.5 * np.ones(n_dev))
-    negfe = NEGFE(backend, name="nanowire", verbose=False)
+    negfe = NEGFE(backend, name="/tmp/nanowire", verbose=False)
     # leads continue the chain: each contact couples to its adjacent cell
     negfe.setContact1D([[1, 2], [11, 12]], tau_list=[[3, 4], [9, 10]],
                        eta=1e-4)

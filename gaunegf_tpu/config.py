@@ -125,7 +125,8 @@ class ExecutionConfig:
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency
     # on the critical path and wins at single-chip-fitting sizes; turn on
-    # for N >~ 8k junctions (needs N/lu_block divisible by the m size).
+    # for N >~ 8k junctions (any N: the solver pads to the panel-cyclic
+    # layout internally).
     distribute_lu: bool = False
     # low-rank contact fast path: transmission/G< solve only the contact
     # columns of G (LU cost unchanged, triangular solves shrink N->nc).

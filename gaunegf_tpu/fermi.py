@@ -170,8 +170,10 @@ def calc_fermi(g, ne, Emin, Emax, fermi_guess=0.0, N1=100, N2=50,
                   "Bounds:", bracket.lo, bracket.hi)
         counter += 1
     if abs(n_err) > tol and counter >= max_cycles:
+        # n_err stays -inf when max_cycles=0 left the loop before any probe
+        n_str = f"{ne + n_err:.2f}" if np.isfinite(n_err) else "unprobed"
         print(f"Warning: Fermi energy still not within tolerance! "
-              f"Ef = {fermi:.2f} eV, N = {ne + n_err:.2f})")
+              f"Ef = {fermi:.2f} eV, N = {n_str})")
     if verbose:
         print(f"Finished after {counter} iterations, Ef = {fermi:.2f}")
     return fermi, Emin, N1, N2

@@ -403,8 +403,9 @@ def _detect_contact(geom: BetheGeometry, contact_atoms: Sequence[int]):
             if vals[best] > 0.9:
                 n_inds.append(best)
             else:
-                print(f"Warning: Lattice Vec #{best} mismatch, neighbor "
-                      "not recorded")
+                print(f"Warning: neighbor direction does not match lattice "
+                      f"vector #{best} (dot {vals[best]:.3f} <= 0.9); "
+                      "skipping this neighbor")
         n_ind_list.append(n_inds)
     return inds_list, normal, lat_unit, n_vecs, n_ind_list
 

@@ -270,6 +270,170 @@ def _point_gr_weighted_cols(E, w, H, S, params, sig_tot_fn, n_shards,
     return (w * X).astype(H.dtype)
 
 
+def _assemble_A(E, H, S, sigma):
+    return (E * S - H - sigma).astype(H.dtype)
+
+
+def _mp_steps(exec_cfg, dtype):
+    return exec_cfg.refine_steps \
+        if (exec_cfg.precision == "mixed" and dtype == jnp.complex64) else 0
+
+
+def _rank_cols(N, n_shards):
+    """(rank, per-rank column width) inside shard_map over the 'm' axis."""
+    return lax.axis_index(MODEL_AXIS), N // n_shards
+
+
+def _point_gless_weighted_full_cols(E, w, H, S, params, sig_tot_fn,
+                                    sig_c_fn, n_shards, exec_cfg):
+    """Model-sharded w * Gr Gamma Ga: each rank refines its column block
+    of Gr (zinv_refined_cols), ONE all_gather reassembles Gr, and the
+    O(N^3) Gamma products divide by computing only the rank's output
+    columns: out[:, cols_r] = Gr (Gamma (Gr^H)[:, cols_r])."""
+    sig_tot = sig_tot_fn(params, E)
+    sig_c = sig_c_fn(params, E) if sig_c_fn is not None else sig_tot
+    A = _assemble_A(E, H, S, sig_tot)
+    N = H.shape[-1]
+    rank, wq = _rank_cols(N, n_shards)
+    X = zl.zinv_refined_cols(A, n_shards, steps=_mp_steps(exec_cfg, A.dtype),
+                             axis_name=MODEL_AXIS, bs=exec_cfg.lu_block,
+                             panel_impl=exec_cfg.lu_panel,
+                             distribute_lu=exec_cfg.distribute_lu)
+    Gr = lax.all_gather(X, MODEL_AXIS, axis=1, tiled=True)       # (N, N)
+    gamma = (1j * (sig_c - jnp.conj(sig_c).T)).astype(H.dtype)
+    rows_r = lax.dynamic_slice(Gr, (rank * wq, 0 * rank), (wq, N))
+    GaH_cols = jnp.conj(rows_r).T                                # (N, wq)
+    out = zl._mm(Gr, zl._mm(gamma, GaH_cols))
+    return (w * out).astype(H.dtype)
+
+
+def _contact_rhs_cols(c, N, n_shards, dtype):
+    """The rank's slice of the nc contact unit columns, padded so every
+    rank owns the same count (padding columns have an out-of-range target
+    row and stay identically zero through the solve)."""
+    nc = len(c)
+    ncl = -(-nc // n_shards)
+    targets = np.full(ncl * n_shards, -1, np.int32)
+    targets[:nc] = np.asarray(c, np.int32)
+    rank = lax.axis_index(MODEL_AXIS)
+    tgt = lax.dynamic_slice(jnp.asarray(targets), (rank * ncl,), (ncl,))
+    B = (lax.broadcasted_iota(jnp.int32, (N, ncl), 0)
+         == tgt[None, :]).astype(dtype)
+    return B, nc, ncl
+
+
+def _solve_cols_sharded(A, B, n_shards, exec_cfg):
+    """Rank-local solve of A Y = B with the configured LU distribution and
+    (mixed tier) one refinement solve -- the sharded twin of _gr_cols."""
+    if exec_cfg.distribute_lu:
+        solve = lambda b: zl.zsolve_dist(A, b, n_shards,
+                                         axis_name=MODEL_AXIS,
+                                         bs=exec_cfg.lu_block,
+                                         panel_impl=exec_cfg.lu_panel)
+    else:
+        solve = lambda b: zl.zsolve(A, b, method="blocked",
+                                    bs=exec_cfg.lu_block,
+                                    panel_impl=exec_cfg.lu_panel)
+    Y = solve(B)
+    if _mp_steps(exec_cfg, A.dtype):
+        R = B - zl.matmul_hp(A, Y)
+        Y = Y + solve(R)
+    return Y
+
+
+def _point_gless_weighted_lowrank_cols(E, w, H, S, params, sig_tot_fn,
+                                       sig_c_fn, c, n_shards, exec_cfg):
+    """Model-sharded low-rank G< point: the nc contact columns of Gr split
+    across ranks (each solves nc/m RHS columns; the LU divides too under
+    distribute_lu), ONE small (N, nc) all_gather, and the O(N^2 nc) outer
+    product divides over the rank's output columns."""
+    sig_tot = sig_tot_fn(params, E)
+    A = _assemble_A(E, H, S, sig_tot)
+    N = H.shape[-1]
+    B, nc, ncl = _contact_rhs_cols(c, N, n_shards, H.dtype)
+    Y = _solve_cols_sharded(A, B, n_shards, exec_cfg)
+    Yf = lax.all_gather(Y, MODEL_AXIS, axis=1, tiled=True)[:, :nc]
+    sig_c = sig_c_fn(params, E) if sig_c_fn is not None else sig_tot
+    ix = np.ix_(np.asarray(c), np.asarray(c))
+    gamma = (1j * (sig_c[ix] - jnp.conj(sig_c[ix]).T)).astype(H.dtype)
+    rank, wq = _rank_cols(N, n_shards)
+    rows_r = lax.dynamic_slice(Yf, (rank * wq, 0 * rank), (wq, nc))
+    out = zl._mm(Yf, zl._mm(gamma, jnp.conj(rows_r).T))          # (N, wq)
+    return (w * out).astype(H.dtype)
+
+
+def _pick_psum(x, axis_name):
+    """Replicated-but-varying -> invariant, exactly: psum of the value
+    masked to rank 0 (zeros elsewhere) adds exact zeros."""
+    pick = jnp.where(lax.axis_index(axis_name) == 0,
+                     jnp.ones((), jnp.real(x).dtype), 0.0)
+    return lax.psum(x * pick, axis_name)
+
+
+def _point_transmission_lowrank_cols(E, H, S, params, sig_tot_fn, g1_fn,
+                                     g2_fn, c1, c2, n_shards, exec_cfg):
+    """Model-sharded low-rank T(E): the c2 contact columns of Gr split
+    across ranks; after ONE tiny (nc1, nc2) gather of G12 the trace work
+    is O(nc^3) and runs replicated."""
+    sig_tot = sig_tot_fn(params, E)
+    A = _assemble_A(E, H, S, sig_tot)
+    N = H.shape[-1]
+    B, nc2, _ = _contact_rhs_cols(c2, N, n_shards, H.dtype)
+    Y = _solve_cols_sharded(A, B, n_shards, exec_cfg)
+    G12_loc = Y[np.asarray(c1), :]                       # (nc1, ncl)
+    G12 = lax.all_gather(G12_loc, MODEL_AXIS, axis=1, tiled=True)[:, :nc2]
+    s1 = g1_fn(params, E)
+    s2 = g2_fn(params, E)
+    ix1 = np.ix_(np.asarray(c1), np.asarray(c1))
+    ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
+    gamma1 = 1j * (s1[ix1] - jnp.conj(s1[ix1]).T)
+    gamma2 = 1j * (s2[ix2] - jnp.conj(s2[ix2]).T)
+    t = jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
+    return _pick_psum(t, MODEL_AXIS)
+
+
+def _point_transmission_full_cols(E, H, S, params, sig_tot_fn, g1_fn,
+                                  g2_fn, n_shards, exec_cfg):
+    """Model-sharded full T(E) = Re tr(G1 Gr G2 Ga): Gr columns sharded +
+    gathered, then each rank contributes the trace over its own diagonal
+    block (3 N^2 w flops per rank instead of 3 N^3)."""
+    sig_tot = sig_tot_fn(params, E)
+    A = _assemble_A(E, H, S, sig_tot)
+    N = H.shape[-1]
+    rank, wq = _rank_cols(N, n_shards)
+    X = zl.zinv_refined_cols(A, n_shards, steps=_mp_steps(exec_cfg, A.dtype),
+                             axis_name=MODEL_AXIS, bs=exec_cfg.lu_block,
+                             panel_impl=exec_cfg.lu_panel,
+                             distribute_lu=exec_cfg.distribute_lu)
+    Gr = lax.all_gather(X, MODEL_AXIS, axis=1, tiled=True)
+    s1 = g1_fn(params, E)
+    s2 = g2_fn(params, E)
+    gamma1 = (1j * (s1 - jnp.conj(s1).T)).astype(H.dtype)
+    gamma2 = (1j * (s2 - jnp.conj(s2).T)).astype(H.dtype)
+    rows_r = lax.dynamic_slice(Gr, (rank * wq, 0 * rank), (wq, N))
+    M_cols = zl._mm(gamma1, zl._mm(Gr, zl._mm(gamma2,
+                                              jnp.conj(rows_r).T)))
+    diag_blk = lax.dynamic_slice(M_cols, (rank * wq, 0 * rank), (wq, wq))
+    t_loc = jnp.real(jnp.trace(diag_blk))
+    return lax.psum(t_loc, MODEL_AXIS)
+
+
+def _point_gr_weighted_dw_cols(E_dw, w_dw, H_dw, S_dw, params, sig_tot_fn,
+                               _unused, n_shards, exec_cfg):
+    """'high'/'exact' tiers over the 'm' axis: the rank's double-word
+    column block of w * G(E) (zlinalg.zinv_dw_cols)."""
+    sigma_dw = _cast_dw(sig_tot_fn(params, E_dw), H_dw[0].dtype)
+    A_hi, A_lo = _assemble_A_dw(E_dw, H_dw, S_dw, sigma_dw)
+    exact = 1 if exec_cfg.precision == "exact" else 0
+    X_dw = zl.zinv_dw_cols(A_hi, A_lo, n_shards,
+                           steps=exec_cfg.refine_steps + 1,
+                           exact_steps=exact, axis_name=MODEL_AXIS,
+                           bs=exec_cfg.lu_block,
+                           panel_impl=exec_cfg.lu_panel,
+                           distribute_lu=exec_cfg.distribute_lu)
+    return _dw_scale(w_dw, X_dw)
+
+
 # ---------------------------------------------------------------------------
 # Engine builders (cached on function identities + static config)
 # ---------------------------------------------------------------------------
@@ -408,18 +572,18 @@ def _build_density_neq_engine(sig_tot_fn, sig_c_fn, c_inds,
 
 
 @lru_cache(maxsize=None)
-def _build_sum_engine_mp(sig_tot_fn, exec_cfg: ExecutionConfig, mesh: Mesh,
-                         epilog=None):
-    """Model-parallel gr_sum engine over an ('e', 'm') mesh.
+def _build_sum_engine_mp(point_fn, sig_tot_fn, sig_c_fn,
+                         exec_cfg: ExecutionConfig, mesh: Mesh,
+                         extra=(), epilog=None):
+    """Model-parallel weighted-sum engine over an ('e', 'm') mesh.
 
-    Energies shard over 'e' as usual; within each energy the identity RHS
-    columns shard over 'm' (zlinalg.zinv_refined_cols), so the
-    solve/residual/correction flops divide across the model axis.  Each
-    rank accumulates its (N, N/m) column block; psum over 'e' reduces the
-    quadrature, and shard_map's out_specs P(None, 'm') reassembles the
-    full (N, N) sum from the column blocks -- no explicit gather of the
-    per-point inverses ever happens (only refinement's internal
-    all_gather, see zinv_refined_cols).
+    Energies shard over 'e' as usual; within each energy the point kernel
+    (a *_cols variant) computes only the rank's (N, N/m) output column
+    block, so the solve/residual/product flops divide across the model
+    axis.  psum over 'e' reduces the quadrature, and shard_map's
+    out_specs P(None, 'm') reassembles the full (N, N) sum from the
+    column blocks -- no explicit gather of the per-point results happens
+    outside the kernels' own internal all_gathers.
     """
     m_size = mesh.shape[MODEL_AXIS]
     from jax.experimental.shard_map import shard_map
@@ -434,9 +598,9 @@ def _build_sum_engine_mp(sig_tot_fn, exec_cfg: ExecutionConfig, mesh: Mesh,
             def scan_fn(carry, inputs):
                 Eb, wb = inputs
                 vals = jax.vmap(
-                    lambda e, ww: _point_gr_weighted_cols(
-                        e, ww, H, S, params, sig_tot_fn, m_size,
-                        exec_cfg))(Eb, wb)
+                    lambda e, ww: point_fn(
+                        e, ww, H, S, params, sig_tot_fn, sig_c_fn, *extra,
+                        m_size, exec_cfg))(Eb, wb)
                 return _kahan_add(carry, jnp.sum(vals, axis=0)), None
 
             init = (jnp.zeros((N, N // m_size), dt),
@@ -448,6 +612,175 @@ def _build_sum_engine_mp(sig_tot_fn, exec_cfg: ExecutionConfig, mesh: Mesh,
             if epilog == "im":
                 out = jnp.imag(out)
             return split_traced(lax.psum(out, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(None, MODEL_AXIS),
+        )(params_s, H_s, S_s, E_s, w_s)
+
+    return engine
+
+
+def _point_gr_weighted_cols_mp(e, ww, H, S, params, sig_tot_fn, _sig_c_fn,
+                               m_size, exec_cfg):
+    """Adapter giving _point_gr_weighted_cols the generic mp signature."""
+    return _point_gr_weighted_cols(e, ww, H, S, params, sig_tot_fn,
+                                   m_size, exec_cfg)
+
+
+@lru_cache(maxsize=None)
+def _build_map_engine_mp(point_fn, fns, exec_cfg: ExecutionConfig,
+                         mesh: Mesh):
+    """Model-parallel per-energy observable map over an ('e', 'm') mesh.
+
+    The point kernel (a *_cols variant) returns a scalar already reduced
+    or replicated over 'm' (psum / _pick_psum inside), so the output is
+    'm'-invariant and shards over 'e' only."""
+    m_size = mesh.shape[MODEL_AXIS]
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s):
+        def per_device(params_s, H_s, S_s, E_s):
+            params, H, S, E = merge_tree((params_s, H_s, S_s, E_s))
+
+            def scan_fn(_, Eb):
+                vals = jax.vmap(
+                    lambda e: point_fn(e, H, S, params, *fns, m_size,
+                                       exec_cfg))(Eb)
+                return None, vals
+
+            _, out = lax.scan(scan_fn, None, E[0])
+            return split_traced(out[None])
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS)),
+            out_specs=P(ENERGY_AXIS),
+        )(params_s, H_s, S_s, E_s)
+
+    return engine
+
+
+@lru_cache(maxsize=None)
+def _build_density_neq_engine_mp(sig_tot_fn, sig_c_fn, c_inds,
+                                 exec_cfg: ExecutionConfig, mesh: Mesh):
+    """Fused biased-SCF dispatch over an ('e', 'm') mesh: the equilibrium
+    grid through the column-sharded retarded kernel (Im accumulation) and
+    the bias window through the column-sharded G< kernel, combined into
+    the rank's (N, N/m) density column block -- ONE dispatch per biased
+    cycle WITH tensor parallelism (the single-'m' fused engine's sibling).
+    """
+    m_size = mesh.shape[MODEL_AXIS]
+    from jax.experimental.shard_map import shard_map
+
+    if c_inds is not None:
+        point_gl = lambda e, ww, H, S, params: \
+            _point_gless_weighted_lowrank_cols(
+                e, ww, H, S, params, sig_tot_fn, sig_c_fn, c_inds, m_size,
+                exec_cfg)
+    else:
+        point_gl = lambda e, ww, H, S, params: \
+            _point_gless_weighted_full_cols(
+                e, ww, H, S, params, sig_tot_fn, sig_c_fn, m_size,
+                exec_cfg)
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s):
+        def per_device(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s):
+            params, H, S, Eq, wq, En, wn = merge_tree(
+                (params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s))
+            N = H.shape[-1]
+            wcol = N // m_size
+
+            def scan_eq(carry, inputs):
+                Eb, wb = inputs
+                vals = jax.vmap(
+                    lambda e, ww: jnp.imag(_point_gr_weighted_cols(
+                        e, ww, H, S, params, sig_tot_fn, m_size,
+                        exec_cfg)))(Eb, wb)
+                return _kahan_add(carry, jnp.sum(vals, axis=0)), None
+
+            def scan_gl(carry, inputs):
+                Eb, wb = inputs
+                vals = jax.vmap(
+                    lambda e, ww: point_gl(e, ww, H, S, params))(Eb, wb)
+                return _kahan_add(carry, jnp.sum(vals, axis=0)), None
+
+            rdt = jnp.real(H).dtype
+            init_eq = (jnp.zeros((N, wcol), rdt), jnp.zeros((N, wcol), rdt))
+            init_gl = (jnp.zeros((N, wcol), H.dtype),
+                       jnp.zeros((N, wcol), H.dtype))
+            init_eq, init_gl = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)),
+                (init_eq, init_gl))
+            (se, ce), _ = lax.scan(scan_eq, init_eq, (Eq[0], wq[0]))
+            (sg, cg), _ = lax.scan(scan_gl, init_gl, (En[0], wn[0]))
+            partial = (se + ce) + (sg + cg)
+            return split_traced(lax.psum(partial, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS),
+                      P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(None, MODEL_AXIS),
+        )(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s)
+
+    return engine
+
+
+@lru_cache(maxsize=None)
+def _build_sum_engine_dw_mp(point_fn, sig_tot_fn, sig_c_fn,
+                            exec_cfg: ExecutionConfig, mesh: Mesh):
+    """'high'/'exact'-tier weighted sum over an ('e', 'm') mesh: the point
+    kernel returns the rank's double-word (hi, lo) column block; chunk and
+    cross-'e' reductions use the same compensated double-word combines as
+    _build_sum_engine_dw (the 'e' psum replaced by the exact gather +
+    TwoSum + masked-psum pattern), with out_specs P(None, 'm')."""
+    m_size = mesh.shape[MODEL_AXIS]
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, E_s, w_s):
+        def per_device(params_s, H_s, S_s, E_s, w_s):
+            params, H_dw, S_dw, E_dw, w_dw = merge_tree(
+                (params_s, H_s, S_s, E_s, w_s))
+            E_dw = (E_dw[0][0], E_dw[1][0])
+            w_dw = (w_dw[0][0], w_dw[1][0])
+            N = H_dw[0].shape[-1]
+            wcol = N // m_size
+            dt = H_dw[0].dtype
+
+            def scan_fn(carry, inputs):
+                Eb_dw, wb_dw = inputs
+                his, los = jax.vmap(
+                    lambda e_hi, e_lo, w_hi, w_lo: point_fn(
+                        (e_hi, e_lo), (w_hi, w_lo), H_dw, S_dw, params,
+                        sig_tot_fn, sig_c_fn, m_size, exec_cfg))(
+                            Eb_dw[0], Eb_dw[1], wb_dw[0], wb_dw[1])
+
+                def red(i, s):
+                    return _cdw_add(s, (his[i], los[i]))
+
+                init_red = jax.tree_util.tree_map(
+                    lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)),
+                    (jnp.zeros((N, wcol), dt), jnp.zeros((N, wcol), dt)))
+                chunk_sum = lax.fori_loop(0, his.shape[0], red, init_red)
+                return _cdw_add(carry, chunk_sum), None
+
+            init = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)),
+                (jnp.zeros((N, wcol), dt), jnp.zeros((N, wcol), dt)))
+            (s_hi, s_lo), _ = lax.scan(scan_fn, init, (E_dw, w_dw))
+            g_hi = lax.all_gather(s_hi, ENERGY_AXIS)
+            g_lo = lax.all_gather(s_lo, ENERGY_AXIS)
+            acc = (g_hi[0], g_lo[0])
+            for i in range(1, mesh.shape[ENERGY_AXIS]):
+                acc = _cdw_add(acc, (g_hi[i], g_lo[i]))
+            pick = jnp.where(lax.axis_index(ENERGY_AXIS) == 0, 1.0, 0.0)
+            return split_traced((lax.psum(acc[0] * pick, ENERGY_AXIS),
+                                 lax.psum(acc[1] * pick, ENERGY_AXIS)))
 
         return shard_map(
             per_device, mesh=mesh,
@@ -1116,8 +1449,13 @@ class EnergyEngine:
             return _ep(merge_host(out).astype(np.complex128))
         if self.high:
             fn, params = self._dw_total()
-            eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
-                                       self.exec_cfg, self.mesh)
+            if self._model_shards(dw_ok=True) > 1:
+                eng = _build_sum_engine_dw_mp(_point_gr_weighted_dw_cols,
+                                              fn, None, self.exec_cfg,
+                                              self.mesh)
+            else:
+                eng = _build_sum_engine_dw(_point_gr_weighted_dw, fn, None,
+                                           self.exec_cfg, self.mesh)
             E_lay, w_lay, _, _ = _layout(
                 np.asarray(E, dtype=np.complex128),
                 np.asarray(w, dtype=np.complex128),
@@ -1128,7 +1466,8 @@ class EnergyEngine:
             hi, lo = merge_host(out)
             return _ep(hi.astype(np.complex128) + lo.astype(np.complex128))
         if self._model_shards() > 1:
-            eng = _build_sum_engine_mp(fn, self.exec_cfg, self.mesh,
+            eng = _build_sum_engine_mp(_point_gr_weighted_cols_mp, fn, None,
+                                       self.exec_cfg, self.mesh,
                                        epilog=epilog)
         else:
             eng = _build_sum_engine(_point_gr_weighted, fn, None,
@@ -1141,19 +1480,20 @@ class EnergyEngine:
         return out.astype(np.float64) if epilog == "im" \
             else out.astype(np.complex128)
 
-    def _model_shards(self) -> int:
-        """Active 'm'-axis size for the column-sharded full-inverse path.
+    def _model_shards(self, dw_ok: bool = False) -> int:
+        """Active 'm'-axis size for the column-sharded engine paths.
 
         1 (replicated) unless the mesh has a >1 model axis AND the orbital
-        count divides it AND the precision tier supports column sharding
-        (fast/mixed; the dw tiers and warm/continuation engines run
-        replicated across 'm' -- correct, just not distributed)."""
+        count divides it.  The warm / continuation engine families always
+        run replicated across 'm' (correct, just not distributed); the dw
+        tiers shard only where a dw *_cols kernel exists (``dw_ok=True``:
+        currently the gr_sum path)."""
         if self.mesh is None or MODEL_AXIS not in self.mesh.shape:
             return 1
         m = self.mesh.shape[MODEL_AXIS]
         N = (self.H_s[0] if self.high else self.H_s).re.shape[-1]
-        if (m == 1 or N % m or self.high or self.exec_cfg.continuation
-                or self._use_warm()):
+        if (m == 1 or N % m or (self.high and not dw_ok)
+                or self.exec_cfg.continuation or self._use_warm()):
             return 1
         return m
 
@@ -1197,7 +1537,17 @@ class EnergyEngine:
             hi, lo = merge_host(out)
             return hi.astype(np.complex128) + lo.astype(np.complex128)
         c = self._contact_inds(contact)
-        if c is not None:
+        m = self._model_shards()
+        if m > 1:
+            if c is not None:
+                eng = _build_sum_engine_mp(
+                    _point_gless_weighted_lowrank_cols, fn, cfn,
+                    self.exec_cfg, self.mesh, extra=(c,))
+            else:
+                eng = _build_sum_engine_mp(
+                    _point_gless_weighted_full_cols, fn, cfn,
+                    self.exec_cfg, self.mesh)
+        elif c is not None:
             eng = _build_sum_engine(_point_gless_weighted_lowrank, fn, cfn,
                                     self.exec_cfg, self.mesh, extra=(c,))
         else:
@@ -1214,11 +1564,10 @@ class EnergyEngine:
         biased SCF cycle (scale factors belong in the weights).
 
         Falls back to gr_sum + gless_sum (two dispatches) for the warm /
-        double-word / continuation / model-sharded engine families, which
-        have no fused variant."""
+        double-word / continuation engine families, which have no fused
+        variant; model-sharded runs use the fused ('e', 'm') sibling."""
         self._log_dispatch("density_neq", np.size(E_eq) + np.size(E_neq))
-        if (self._use_warm() or self.high or self.exec_cfg.continuation
-                or self._model_shards() > 1):
+        if self._use_warm() or self.high or self.exec_cfg.continuation:
             return (self.gr_sum(E_eq, w_eq, epilog="im")
                     + self.gless_sum(E_neq, w_neq, contact))
         from gaunegf_tpu.utils.logging import perf_span
@@ -1228,8 +1577,12 @@ class EnergyEngine:
             cfn, params = self.provider.contact_apply(contact)
             fn, _ = self.provider.total_apply()
         c = self._contact_inds(contact)
-        eng = _build_density_neq_engine(fn, cfn, c, self.exec_cfg,
-                                        self.mesh)
+        if self._model_shards() > 1:
+            eng = _build_density_neq_engine_mp(fn, cfn, c, self.exec_cfg,
+                                               self.mesh)
+        else:
+            eng = _build_density_neq_engine(fn, cfn, c, self.exec_cfg,
+                                            self.mesh)
         Eq_s, wq_s, _ = self._prep(E_eq, w_eq)
         En_s, wn_s, _ = self._prep(E_neq, w_neq)
         with perf_span("density_neq",
@@ -1270,7 +1623,17 @@ class EnergyEngine:
                              + lo.astype(np.float64), n)
         c1 = self._contact_inds(0)
         c2 = self._contact_inds(-1)
-        if c1 is not None and c2 is not None:
+        m = self._model_shards()
+        if m > 1:
+            if c1 is not None and c2 is not None:
+                eng = _build_map_engine_mp(_point_transmission_lowrank_cols,
+                                           (fn, g1, g2, c1, c2),
+                                           self.exec_cfg, self.mesh)
+            else:
+                eng = _build_map_engine_mp(_point_transmission_full_cols,
+                                           (fn, g1, g2),
+                                           self.exec_cfg, self.mesh)
+        elif c1 is not None and c2 is not None:
             eng = _build_map_engine(_point_transmission_lowrank,
                                     (fn, g1, g2, c1, c2),
                                     self.exec_cfg, self.mesh)

@@ -47,7 +47,7 @@ from jax import lax
 
 __all__ = [
     "zsolve", "zinv", "zinv_refined", "zinv_refined_cols",
-    "zsolve_dist",
+    "zinv_dw_cols", "zsolve_dist",
     "inv", "solve", "eigh", "eig", "fractional_matrix_power",
     "matmul_hp", "matmul_hp3", "supports_lapack_complex",
 ]
@@ -879,7 +879,7 @@ def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
     axis.  The factorization itself is replicated by default (lowest
     latency at single-chip-fitting sizes); ``distribute_lu=True`` routes
     through ``zsolve_dist`` so the O(N^3/3) trailing updates divide too
-    (the N >~ 8k path; needs N/bs divisible by n_shards).  Newton's
+    (the N >~ 8k path; any N, padded internally).  Newton's
     correction needs the full current iterate: ONE all_gather of X per
     refinement step (~N^2 * 8 B over ICI); with steps=0 ('fast' tier) the
     only collective is the caller's final gather of the result.
@@ -909,6 +909,65 @@ def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
     return X
 
 
+def zinv_dw_cols(A_hi, A_lo, n_shards: int, *, steps: int = 2,
+                 exact_steps: int = 0, axis_name: str = "m",
+                 bs: int | None = None, panel_impl: str = "split",
+                 distribute_lu: bool = False):
+    """Column-sharded double-word inverse for the 'm' mesh axis.
+
+    The model-parallel analog of ``zinv_dw``: each rank solves and Newton-
+    refines only its N/n_shards identity columns against the double-word
+    operator (A_hi + A_lo), with the residual matmuls (the dominant cost)
+    dividing across the axis.  The correction X <- X + X R needs the full
+    current iterate: TWO all_gathers (hi, lo) per refinement step.
+    ``exact_steps`` appends Ozaki-sliced error-free residual steps (the
+    'exact' tier; zmatmul_exact works on the rank's (N, w) column block).
+
+    Returns the rank's (N, w) double-word column pair of (A_hi+A_lo)^-1;
+    callers reassemble with lax.all_gather(..., axis=1, tiled=True).
+    """
+    N = A_hi.shape[-1]
+    if N % n_shards:
+        raise ValueError(f"N={N} not divisible by m-axis size {n_shards}")
+    w = N // n_shards
+    rank = lax.axis_index(axis_name)
+    rows = lax.broadcasted_iota(jnp.int32, (N, w), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (N, w), 1)
+    I_cols = (rows == cols + rank * w).astype(A_hi.dtype)
+    if distribute_lu:
+        X_hi = zsolve_dist(A_hi, I_cols, n_shards, axis_name=axis_name,
+                           bs=bs, panel_impl=panel_impl)
+    else:
+        X_hi = zsolve(A_hi, I_cols, method="blocked", bs=bs,
+                      panel_impl=panel_impl)
+    X_lo = jnp.zeros_like(X_hi)
+
+    def _update(X_hi, X_lo, R_hi, R_lo):
+        rmax = lax.pmax(jnp.max(jnp.abs(R_hi)), axis_name)
+        ok = rmax < 0.5                    # near-singular safeguard
+        Xf_hi = lax.all_gather(X_hi, axis_name, axis=1, tiled=True)
+        Xf_lo = lax.all_gather(X_lo, axis_name, axis=1, tiled=True)
+        D_hi = matmul_hp(Xf_hi, R_hi)
+        D_lo = _mm(Xf_lo, R_hi) + _mm(Xf_hi, R_lo)
+        D_hi = jnp.where(ok, D_hi, 0.0)
+        D_lo = jnp.where(ok, D_lo, 0.0)
+        tr, er = two_sum(jnp.real(X_hi), jnp.real(D_hi))
+        ti, ei = two_sum(jnp.imag(X_hi), jnp.imag(D_hi))
+        return tr + 1j * ti, X_lo + D_lo + (er + 1j * ei)
+
+    for _ in range(steps):
+        R = (I_cols - matmul_hp(A_hi, X_hi)) \
+            - (_mm(A_hi, X_lo) + _mm(A_lo, X_hi))
+        X_hi, X_lo = _update(X_hi, X_lo, R, jnp.zeros_like(R))
+    for _ in range(exact_steps):
+        P_hi, P_lo = zmatmul_exact(A_hi, X_hi)
+        cross = _mm(A_hi, X_lo) + _mm(A_lo, X_hi) + _mm(A_lo, X_lo)
+        R_hi, e = ctwo_sum(I_cols - P_hi, -cross)
+        R_lo = -P_lo + e
+        X_hi, X_lo = _update(X_hi, X_lo, R_hi, R_lo)
+    return X_hi, X_lo
+
+
 def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
                 bs: int | None = None, panel_impl: str = "split"):
     """Distributed blocked solve over the model axis: the O(N^3) trailing
@@ -931,13 +990,18 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
     factorization flops divide by M here, at the price of per-panel
     broadcast latency on the critical path.
     """
-    N = A.shape[-1]
+    N0 = A.shape[-1]
     k = B_cols.shape[-1]
-    bs = _pick_block(N, bs)
+    bs = _pick_block(N0, bs)
     M = n_shards
-    if (N % bs) or ((N // bs) % M):
-        raise ValueError(f"N={N} needs nb=N/bs divisible by m={M} "
-                         f"(bs={bs}) for the panel-cyclic layout")
+    # pad A -> block-diag(A, I) up to the next multiple of bs*M so the
+    # panel-cyclic layout always divides evenly (the padded rows of B are
+    # zero, so the appended identity block contributes X_pad = 0 rows)
+    N = -(-N0 // (bs * M)) * (bs * M)
+    if N != N0:
+        A = _pad_to(A, N)
+        B_cols = jnp.concatenate(
+            [B_cols, jnp.zeros((N - N0, k), B_cols.dtype)], axis=0)
     nb = N // bs
     nbl = nb // M
     rank = lax.axis_index(axis_name)
@@ -1013,7 +1077,7 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
         if X.shape[0] > 0:
             acc = acc - _mm(u12_rows[ib][:, (ib + 1) * bs:], X)
         X = jnp.concatenate([_mm(Uinv[ib], acc), X], axis=0)
-    return X
+    return X[:N0, :]
 
 
 # ---------------------------------------------------------------------------

@@ -103,10 +103,16 @@ def initialize_distributed(environ=None, force: bool = False) -> bool:
         return False
     if _initialized and not force:
         return True
-    jax.distributed.initialize(
-        coordinator_address=spec["coordinator_address"],
-        num_processes=spec["num_processes"],
-        process_id=spec["process_id"])
+    try:
+        jax.distributed.initialize(
+            coordinator_address=spec["coordinator_address"],
+            num_processes=spec["num_processes"],
+            process_id=spec["process_id"])
+    except RuntimeError as e:
+        # the user may have called jax.distributed.initialize() themselves
+        # before us; treat an already-initialized client as success
+        if "already initialized" not in str(e).lower():
+            raise
     _initialized = True
     return True
 
@@ -156,9 +162,17 @@ def energy_mesh(n_devices: Optional[int] = None,
     with the model axis confined to intra-host ICI groups.
     """
     if devices is None:
-        initialize_distributed()
+        multi = initialize_distributed()
         devices = jax.devices()
         if n_devices is not None:
+            if multi and n_devices != len(devices):
+                # slicing the global list could drop some processes' local
+                # devices, wedging their shard_map calls -- n_devices is a
+                # single-host convenience only
+                raise ValueError(
+                    f"n_devices={n_devices} is not supported in a "
+                    f"multi-process run ({len(devices)} global devices); "
+                    "pass an explicit `devices` list instead")
             devices = devices[:n_devices]
     grid = device_grid(devices, model_parallel)
     return Mesh(grid, (ENERGY_AXIS, MODEL_AXIS))

@@ -124,3 +124,79 @@ def test_set_fock_auto_extraction_periodicity():
     g.set_fock(F2)
     # contact block [0:4,0:4] must equal the adjacent cell block [4:8,4:8]
     assert np.allclose(g.F[:4, :4], g.F[4:8, 4:8])
+
+
+# ---------------------------------------------------------------------------
+# Warm-started sweeps (previous-energy seeding; VERDICT r2 missing item 3)
+# ---------------------------------------------------------------------------
+
+def _junction(n=24, n_c=4):
+    """Chain junction with REAL lead coupling: taus point at the cells
+    adjacent to each contact block (the default 2-cell pattern would read
+    zero coupling blocks out of a long chain)."""
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    inds1 = np.arange(n_c)
+    inds2 = np.arange(n - n_c, n)
+    taus = [np.arange(n_c, 2 * n_c), np.arange(n - 2 * n_c, n - n_c)]
+    return H, S, Chain1DSelfEnergy(H, S, [inds1, inds2], taus=taus,
+                                   eta=1e-4)
+
+
+def test_chain_warm_transmission_matches_cold():
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.ops.greens import EnergyEngine
+
+    H, S, g = _junction()
+    assert g.contacts_warm_apply is not None
+    E = np.linspace(-1.5, 1.5, 48)
+    cold = EnergyEngine(H, S, g, ExecutionConfig(
+        energy_chunk=8, warm_start=False)).transmission(E)
+    warm = EnergyEngine(H, S, g, ExecutionConfig(
+        energy_chunk=8, warm_start=True)).transmission(E)
+    np.testing.assert_allclose(warm, cold, rtol=0, atol=5e-5)
+
+
+def test_chain_warm_gr_sum_matches_cold():
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.ops.greens import EnergyEngine
+
+    H, S, g = _junction()
+    E = np.linspace(-2.0, 2.0, 32) + 0.05j
+    w = np.ones(32)
+    cold = EnergyEngine(H, S, g, ExecutionConfig(
+        energy_chunk=8, warm_start=False)).gr_sum(E, w)
+    warm = EnergyEngine(H, S, g, ExecutionConfig(
+        energy_chunk=8, warm_start=True)).gr_sum(E, w)
+    np.testing.assert_allclose(warm, cold, rtol=0, atol=5e-5)
+
+
+def test_chain_warm_kernel_accepts_good_seed():
+    """A converged previous-energy g passes the warm acceptance test and
+    the returned g solves the fixed point at the new energy."""
+    import jax.numpy as jnp
+
+    from gaunegf_tpu.models.chain1d import (surface_g_sancho,
+                                            surface_g_sancho_warm)
+    from gaunegf_tpu.ops.complexio import call_complex_safe
+
+    H, S, g = _junction()
+    c = g.params()["contacts"][0]
+
+    def seedpair(E1, E2):
+        def body(c, E1, E2):
+            A1 = (E1 + 1j * 1e-4) * c["Salpha"] - c["alpha"]
+            B1 = (E1 + 1j * 1e-4) * c["Sbeta"] - c["beta"]
+            g1 = surface_g_sancho(A1, B1, 1e-8)
+            A2 = (E2 + 1j * 1e-4) * c["Salpha"] - c["alpha"]
+            B2 = (E2 + 1j * 1e-4) * c["Sbeta"] - c["beta"]
+            g2w = surface_g_sancho_warm(A2, B2, g1, 1e-8)
+            res = g2w - jnp.linalg.solve(
+                A2 - B2 @ g2w @ jnp.conj(B2).T,
+                jnp.eye(A2.shape[0], dtype=A2.dtype))
+            return jnp.max(jnp.abs(res))
+        return call_complex_safe(body, c, complex(E1), complex(E2))
+
+    assert float(seedpair(0.30, 0.301)) < 1e-6
+    # far seed: the Sancho fallback must still deliver the fixed point
+    assert float(seedpair(-1.5, 0.7)) < 1e-6

@@ -127,6 +127,94 @@ def test_zsolve_dist_matches_serial(rng, m):
     assert err < 5e-6, err
 
 
+@pytest.mark.parametrize("lowrank", [True, False])
+def test_gless_sum_model_sharded_matches_serial(rng, lowrank):
+    """G< window divides over 'm' (low-rank contact columns and the full
+    Gr Gamma Ga product path)."""
+    N = 64
+    H, S, g = _system(N, rng)
+    E = np.linspace(-0.5, 0.5, 8) + 0.05j
+    w = rng.standard_normal(8)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4,
+                          use_lowrank=lowrank)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).gless_sum(E, w, contact=0)
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=2)).gless_sum(
+                               E, w, contact=0)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
+def test_gless_sum_model_sharded_uneven_contact(rng):
+    """Contact size not divisible by m: the padded-RHS path."""
+    N = 48
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1))
+    S = np.eye(N)
+    g = ConstantSelfEnergy(H, S, [np.arange(5), np.arange(N - 5, N)],
+                           sig1=-0.1j)
+    E = np.linspace(-0.5, 0.5, 8) + 0.05j
+    w = np.ones(8)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).gless_sum(E, w, contact=0)
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=4)).gless_sum(
+                               E, w, contact=0)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("lowrank", [True, False])
+def test_transmission_model_sharded_matches_serial(rng, lowrank):
+    N = 64
+    H, S, g = _system(N, rng)
+    E = np.linspace(-2, 2, 16)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4,
+                          use_lowrank=lowrank, warm_start=False)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).transmission(E)
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=2)).transmission(E)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("precision,atol", [("high", 5e-7), ("exact", 1e-9)])
+def test_gr_sum_dw_model_sharded_matches_serial(rng, precision, atol):
+    """The double-word tiers shard the gr path over 'm'
+    (zlinalg.zinv_dw_cols).  The 'exact' tier agrees with the serial dw
+    engine to ~1e-10 (both converge to the true inverse); 'high' can only
+    agree at its own accuracy floor (~1e-7: column-blocked residual
+    matmuls round differently than full ones), so both are also checked
+    against x64 ground truth at tier tolerance."""
+    N = 32
+    H, S, g = _system(N, rng)
+    E = np.linspace(-1, 1, 8) + 0.05j
+    w = rng.standard_normal(8)
+    cfg = ExecutionConfig(precision=precision, energy_chunk=4)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w)
+    eng = EnergyEngine(H, S, g, cfg, mesh=energy_mesh(model_parallel=2))
+    assert eng._model_shards(dw_ok=True) == 2
+    sharded = eng.gr_sum(E, w)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=atol)
+    sig = g.sigmaTot(0.0)
+    truth = sum(ww * np.linalg.inv(e * S - H - np.asarray(sig))
+                for e, ww in zip(E, w))
+    np.testing.assert_allclose(sharded, truth, rtol=0, atol=5e-7)
+
+
+def test_density_neq_model_sharded_matches_serial(rng):
+    """The fused biased-SCF dispatch has an ('e', 'm') sibling."""
+    N = 64
+    H, S, g = _system(N, rng)
+    Eq = np.linspace(-3, -1, 8) + 0.1j
+    wq = rng.standard_normal(8)
+    En = np.linspace(-0.2, 0.2, 8) + 1e-3j
+    wn = rng.standard_normal(8)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    serial = EnergyEngine(H, S, g, cfg, mesh=None).density_neq_sum(
+        Eq, wq, En, wn, contact=0)
+    sharded = EnergyEngine(H, S, g, cfg,
+                           mesh=energy_mesh(model_parallel=2)).density_neq_sum(
+                               Eq, wq, En, wn, contact=0)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
 def test_gr_sum_distributed_lu_matches_serial(rng):
     """End-to-end: the mp engine with distribute_lu=True == serial."""
     N = 64
@@ -140,3 +228,26 @@ def test_gr_sum_distributed_lu_matches_serial(rng):
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).gr_sum(E, w)
     np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+
+
+def test_zsolve_dist_pads_uneven_sizes(rng):
+    """N not divisible by bs*m: zsolve_dist pads internally (ADVICE r2;
+    distribute_lu usable at any N without tuning lu_block)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gaunegf_tpu.ops import zlinalg as zl
+
+    N, bs, k, m = 100, 16, 32, 2
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.2 + 0.1j) * np.eye(N)).astype(np.complex64)
+    B = (rng.standard_normal((N, k))
+         + 1j * rng.standard_normal((N, k))).astype(np.complex64)
+    mesh = energy_mesh(model_parallel=m)
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh,
+                  in_specs=(P(), P(None, MODEL_AXIS)),
+                  out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
+                                                 jnp.asarray(B))
+    X_ref = np.linalg.solve(A.astype(np.complex128),
+                            B.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-6, err
