@@ -28,6 +28,50 @@ import numpy as np
 # N=1000, complex128): see BASELINE.md.
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
+# Cross-session anchors (VERDICT r2 item 6): chip/tunnel throughput drifts
+# up to ~7x between sessions on identical code (BASELINE.md), so the
+# headline number alone cannot distinguish a regression from a slow
+# session.  Two fixed probes are timed every run and their ratio to the
+# round-3 reference session is reported, plus value_normalized =
+# value / anchor_ratio.  ANCHOR_REF_* were measured in the same round-3
+# session that produced BENCH_r03; None disables normalization.
+ANCHOR_REF_MATMUL_GFLOPS = 6522.0   # 32 chained 1024^2 f32 HIGHEST matmuls
+ANCHOR_REF_SOLVE_PTS = 729.0        # N=512 fast-tier gr_sum, 128 points
+
+
+def _measure_anchor_matmul():
+    """Achieved GFLOP/s of 32 dependent 1024^2 f32 matmuls in ONE
+    dispatch (dependency chain defeats dead-code elimination; the scalar
+    readback forces completion through the async tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    K, n = 32, 1024
+
+    @jax.jit
+    def chain(x):
+        for _ in range(K):
+            x = jnp.matmul(x, x, precision=jax.lax.Precision.HIGHEST)
+            x = x * (1.0 / jnp.max(jnp.abs(x)))
+        return jnp.sum(x)
+
+    x = jnp.eye(n, dtype=jnp.float32) + 0.01
+    float(chain(x))                       # compile + warm
+    t0 = time.time()
+    float(chain(x))
+    dt = time.time() - t0
+    return K * 2 * n**3 / dt / 1e9
+
+
+def _measure_anchor_solve(EnergyEngine, ExecutionConfig, system):
+    """Pinned-config solve probe: N=512 fast-tier density sum."""
+    H, S, g = system(512)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="fast", energy_chunk=32, lu_block=128))
+    E = np.linspace(-2.0, 2.0, 128)
+    w = np.ones(128)
+    return _median_rate(lambda: eng.gr_sum(E, w), 128, repeats=3)
+
 
 def _prep_backend():
     """Persistent compile cache (first compiles are minutes through the
@@ -105,6 +149,17 @@ def main():
     # --- extra 3: low-rank T(E) sweep on the N=1000 junction -----------
     pts_trans = _median_rate(lambda: eng.transmission(E), n_E, repeats=3)
 
+    # --- anchors: separate session variance from code regressions ------
+    anchor_mm = _measure_anchor_matmul()
+    anchor_solve = _measure_anchor_solve(EnergyEngine, ExecutionConfig,
+                                         system)
+    ratios = []
+    if ANCHOR_REF_MATMUL_GFLOPS:
+        ratios.append(anchor_mm / ANCHOR_REF_MATMUL_GFLOPS)
+    if ANCHOR_REF_SOLVE_PTS:
+        ratios.append(anchor_solve / ANCHOR_REF_SOLVE_PTS)
+    anchor_ratio = float(np.mean(ratios)) if ratios else 1.0
+
     print(json.dumps({
         "metric": "energy points/sec, 1000-orbital G(E) solves (mixed precision)",
         "value": round(pts_1000, 2),
@@ -114,6 +169,11 @@ def main():
             "n2000_mixed_pts_per_s": round(pts_2000, 2),
             "n2000_mixed_im_pts_per_s": round(pts_2000_im, 2),
             "transmission_lowrank_pts_per_s": round(pts_trans, 2),
+            "anchor_matmul_gflops": round(anchor_mm, 1),
+            "anchor_solve_pts_per_s": round(anchor_solve, 2),
+            "anchor_ratio": round(anchor_ratio, 4),
+            "value_normalized": round(pts_1000 / anchor_ratio, 2),
+            "n2000_mixed_normalized": round(pts_2000 / anchor_ratio, 2),
         },
     }))
 

@@ -195,12 +195,14 @@ def surface_g_sancho_warm(A, B, g0, conv=SURFACE_GREEN_CONVERGENCE,
          zl._tie_vma(jnp.asarray(jnp.inf), A), g0.astype(dt)))
     ok_warm = diff_w <= 0.1 * conv
 
-    # Sancho fallback: identical to surface_g_sancho, but the loop's diff
-    # carry starts at the warm refinement's diff -- when every lane of the
-    # vmapped chunk accepted its seed the loop body never executes
+    # Sancho fallback: identical to surface_g_sancho (including the plain
+    # `conv` threshold -- only the warm ACCEPTANCE carries the 10x safety
+    # margin), but the loop's diff carry starts at the warm refinement's
+    # diff -- when every lane of the vmapped chunk accepted its seed the
+    # loop body never executes
     def cond(state):
         *_, diff, count = state
-        return (diff > 0.1 * conv) & (count < max_iter)
+        return (diff > conv) & (count < max_iter)
 
     def body(state):
         eps_s, eps, al, be, _, count = state
@@ -215,8 +217,13 @@ def surface_g_sancho_warm(A, B, g0, conv=SURFACE_GREEN_CONVERGENCE,
             jnp.max(jnp.abs(eps_s_new)), 1e-30)
         return (eps_s_new, eps_new, al_new, be_new, diff, count + 1)
 
+    # the loop-entry diff is derived from the ACCEPTANCE verdict (not the
+    # raw warm diff): a rejected warm result must always trigger the full
+    # fallback, even when its last step size already dipped below conv
+    diff0 = jnp.where(ok_warm, jnp.zeros_like(diff_w),
+                      jnp.full_like(diff_w, jnp.inf))
     init = (A.astype(dt), A.astype(dt), B.astype(dt), Bd.astype(dt),
-            diff_w, zl._tie_vma(jnp.zeros((), jnp.int32), A))
+            diff0, zl._tie_vma(jnp.zeros((), jnp.int32), A))
     eps_s, *_ = lax.while_loop(cond, body, init)
     g_cold = _zinv(eps_s)
     return jnp.where(ok_warm, g_w, g_cold)

@@ -804,13 +804,41 @@ def _point_transmission_pre(E, H, S, sigs, exec_cfg):
     return jnp.real(jnp.trace(gamma1 @ Gr @ gamma2 @ Ga))
 
 
+def _point_transmission_pre_lowrank(E, H, S, sigs, c1, c2, exec_cfg):
+    """Warm + low-rank transmission: precomputed per-contact sigmas AND
+    contact-column solves -- without this the warm engine pays a full
+    inverse where the cold path solves nc columns, losing 3-4x whenever
+    the provider's sigma is cheap (measured round 3, chain contacts)."""
+    sig_tot = sigs[0]
+    for s in sigs[1:]:
+        sig_tot = sig_tot + s
+    X = _gr_cols(E, H, S, sig_tot, c2, exec_cfg)       # (N, nc2)
+    G12 = X[np.asarray(c1), :]
+    s1, s2 = sigs[0], sigs[-1]
+    ix1 = np.ix_(np.asarray(c1), np.asarray(c1))
+    ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
+    gamma1 = 1j * (s1[ix1] - jnp.conj(s1[ix1]).T)
+    gamma2 = 1j * (s2[ix2] - jnp.conj(s2[ix2]).T)
+    return jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
+
+
 @lru_cache(maxsize=None)
 def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
-                             mesh: Optional[Mesh]):
+                             mesh: Optional[Mesh], lowrank=None):
     """Warm-started T(E) sweep: the provider's fixed-point state is carried
     across chunks per lane (previous-energy initialization along the sorted
     grid within a shard, SURVEY.md section 7.4 item 2), and each energy's contact
-    sigmas are solved once and reused for Sigma_tot and both Gammas."""
+    sigmas are solved once and reused for Sigma_tot and both Gammas.
+    lowrank=(c1, c2) static contact supports route the per-point kernel
+    through contact-column solves instead of the full inverse."""
+
+    if lowrank is not None:
+        c1, c2 = lowrank
+        point = lambda e, sg, H, S: _point_transmission_pre_lowrank(
+            e, H, S, sg, c1, c2, exec_cfg)
+    else:
+        point = lambda e, sg, H, S: _point_transmission_pre(
+            e, H, S, sg, exec_cfg)
 
     def device_body(params, H, S, E, state0, varying=False):
         chunk = E.shape[-1]
@@ -821,11 +849,14 @@ def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
                 lambda x: lax.pvary(x, (ENERGY_AXIS,)), state_lanes)
 
         def scan_fn(state, Eb):
-            sigs, state_new = jax.vmap(
-                lambda e, st: warm_fn(params, e, st))(Eb, state)
-            vals = jax.vmap(
-                lambda e, sg: _point_transmission_pre(e, H, S, sg,
-                                                      exec_cfg))(Eb, sigs)
+            # ONE vmap for sigma + observable: a separate sigma vmap would
+            # materialize (chunk, N, N) per-contact sigmas between the two
+            # batched computations (measured 25% slower, round 3)
+            def one(e, st):
+                sigs, st2 = warm_fn(params, e, st)
+                return point(e, sigs, H, S), st2
+
+            vals, state_new = jax.vmap(one)(Eb, state)
             return state_new, vals
 
         _, out = lax.scan(scan_fn, state_lanes, E)
@@ -894,10 +925,12 @@ def _build_sum_engine_warm(kind: str, warm_fn, exec_cfg: ExecutionConfig,
         def scan_fn(carry, inputs):
             acc, state = carry
             Eb, wb = inputs
-            sigs, state_new = jax.vmap(
-                lambda e, st: warm_fn(params, e, st))(Eb, state)
-            vals = jax.vmap(
-                lambda e, ww, sg: point(e, ww, sg, H, S))(Eb, wb, sigs)
+
+            def one(e, ww, st):
+                sigs, st2 = warm_fn(params, e, st)
+                return point(e, ww, sigs, H, S), st2
+
+            vals, state_new = jax.vmap(one)(Eb, wb, state)
             return (_kahan_add(acc, jnp.sum(vals, axis=0)), state_new), None
 
         (acc, _), _ = lax.scan(scan_fn, (init_acc, state_lanes), (E, w))
@@ -1597,7 +1630,12 @@ class EnergyEngine:
         if warm is not None and self.exec_cfg.warm_start and not self.high:
             wfn, params, init = warm()
             init = self._cast_state(init)
-            eng = _build_trans_engine_warm(wfn, self.exec_cfg, self.mesh)
+            cw1 = self._contact_inds(0)
+            cw2 = self._contact_inds(-1)
+            lowrank = (cw1, cw2) if (cw1 is not None and cw2 is not None) \
+                else None
+            eng = _build_trans_engine_warm(wfn, self.exec_cfg, self.mesh,
+                                           lowrank=lowrank)
             E_lay, n, _ = _layout_lane_major(
                 np.asarray(E, dtype=np.complex128), self.mesh,
                 self.exec_cfg.energy_chunk)

@@ -251,3 +251,29 @@ def test_zsolve_dist_pads_uneven_sizes(rng):
                             B.astype(np.complex128))
     err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
     assert err < 5e-6, err
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("GAUNEGF_SCALE_TESTS"),
+                    reason="N=2048 panel-cyclic solve compiles ~9 min on "
+                           "CPU; set GAUNEGF_SCALE_TESTS=1 to run "
+                           "(verified round 3: rel err 6.7e-7, BASELINE.md)")
+def test_zsolve_dist_scale_n2048(rng):
+    """Panel-cyclic distributed LU at the scale the flag targets."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from gaunegf_tpu.ops import zlinalg as zl
+
+    N, bs, k, m = 2048, 256, 32, 2
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.2 + 0.1j) * np.eye(N)).astype(np.complex64)
+    B = (rng.standard_normal((N, k))
+         + 1j * rng.standard_normal((N, k))).astype(np.complex64)
+    mesh = energy_mesh(model_parallel=m)
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh,
+                  in_specs=(P(), P(None, MODEL_AXIS)),
+                  out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
+                                                 jnp.asarray(B))
+    X_ref = np.linalg.solve(A.astype(np.complex128),
+                            B.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-6, err
