@@ -117,9 +117,12 @@ class ExecutionConfig:
     #   virtually-pivoted panel (no lane-dim dynamic indexing, the
     #   round-1 default); 'xla': swap-based fused loop; 'fused':
     #   single-Pallas-program panel (device-correct; loses the round-2
-    #   A/B to 'split' but compiles ~4x faster); 'pallas': the round-1
+    #   A/B to 'split' but compiles ~4x faster); 'fused3': the fused
+    #   kernel with manual bf16-split dots (half the MXU passes; factor
+    #   quality ~1e-4 -- pair with 'mixed', whose Newton polish is
+    #   residual-floor- not seed-limited); 'pallas': the round-1
     #   masked-select kernel (experimental).  All produce the identical
-    #   partial-pivot sequence.
+    #   partial-pivot sequence (up to near-tie pivots in 'fused3').
     lu_panel: str = "split"
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per

@@ -201,19 +201,28 @@ def _point_transmission(E, H, S, params, sig_tot_fn, g1_fn, g2_fn, exec_cfg):
 def _gr_cols(E, H, S, sigma, cols, exec_cfg):
     """Selected columns of G(E): solve with nc unit-column RHS instead of
     the full inverse -- the low-rank contact fast path (the LU cost stays,
-    the N x N triangular solves shrink to N x nc)."""
+    the N x N triangular solves shrink to N x nc).
+
+    The blocked path factors ONCE and reuses the factors for the mixed
+    tier's refinement solve (zlu_factor/zlu_solve) -- previously the
+    refinement repaid the whole O(N^3/3) factorization, doubling the
+    dominant cost of every mixed low-rank transmission/G< point."""
     A = (E * S - H - sigma).astype(H.dtype)
     B = jnp.zeros((H.shape[0], len(cols)), dtype=H.dtype)
     B = B.at[np.asarray(cols), jnp.arange(len(cols))].set(1.0)
-    X = zl.zsolve(A, B, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel,
-                  method=None if zl.supports_lapack_complex() else "blocked")
-    if exec_cfg.precision == "mixed" and A.dtype == jnp.complex64:
-        # one refinement step on the selected columns
+    mixed = exec_cfg.precision == "mixed" and A.dtype == jnp.complex64
+    if zl.supports_lapack_complex():
+        X = zl.zsolve(A, B)
+        if mixed:
+            R = B - zl.matmul_hp(A, X)
+            X = X + zl.zsolve(A, R)
+        return X
+    factors = zl.zlu_factor(A, bs=exec_cfg.lu_block,
+                            panel_impl=exec_cfg.lu_panel)
+    X = zl.zlu_solve(factors, B)
+    if mixed:
         R = B - zl.matmul_hp(A, X)
-        X = X + zl.zsolve(A, R, bs=exec_cfg.lu_block,
-                          panel_impl=exec_cfg.lu_panel,
-                          method=None if zl.supports_lapack_complex()
-                          else "blocked")
+        X = X + zl.zlu_solve(factors, R)
     return X
 
 

@@ -52,8 +52,28 @@ STRIP = 32
 
 
 
-def _make_kernel(m: int, bs: int, strip: int):
+def _split3(x):
+    """Exact-enough triple bf16 split: x ~= x1 + x2 + x3 to ~2^-24 rel
+    (each part bf16-representable, so 1-pass MXU products are exact)."""
+    x1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - x1
+    x2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    x3 = r - x2
+    return x1, x2, x3
+
+
+def _make_kernel(m: int, bs: int, strip: int, mode: str = "highest"):
+    """mode='highest': every dot 6-pass f32 (the round-2 kernel).
+    mode='bf16x3': manual bf16-split dots -- SELECTION products (one-hot
+    extraction/scatter, where a bf16 cast would corrupt the extracted f32
+    values) use the exact 3-way split (3 one-pass dots vs 6 passes);
+    VALUE products (L11 substitution, trailing update) use a 3-product
+    2-way split (~16-bit, 3 one-pass dots) -- factor quality drops to
+    ~1e-4, which the mixed tier's Newton polish absorbs (its final error
+    is residual-floor-, not seed-, limited).  Halves the MXU pass count
+    that made the round-2 fused kernel lose its A/B."""
     n_strips = bs // strip
+    bf3 = mode == "bf16x3"
 
     def kernel(ire_ref, iim_ref, ore_ref, oim_ref, opiv_ref):
         lanes = lax.broadcasted_iota(jnp.int32, (1, m), 1)
@@ -62,13 +82,47 @@ def _make_kernel(m: int, bs: int, strip: int):
         oim_ref[0] = iim_ref[0]
         avail0 = jnp.ones((1, m), jnp.float32)
 
-        def _dg_m(a, b):
+        def _dg_m_raw(a, b, precision):
             # a (r, m) x b (k, m) -> (r, k), contracting the m axes
             # (equivalent to a @ b.T without materializing a transpose)
             return lax.dot_general(
                 a, b, (((1,), (1,)), ((), ())),
-                precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+                precision=precision,
+                preferred_element_type=jnp.float32)
+
+        def _dg_m(a, b):
+            """Value x one-hot contraction over m: must return the f32
+            values EXACTLY (they become U12/L11 factors)."""
+            if not bf3:
+                return _dg_m_raw(a, b, lax.Precision.HIGHEST)
+            a1, a2, a3 = _split3(a)
+            d = lambda x: _dg_m_raw(x, b, None)
+            return (d(a1) + d(a2)) + d(a3)
+
+        def _mm_raw(a, b, precision=None):
+            return jnp.dot(a, b, precision=precision,
+                           preferred_element_type=jnp.float32)
+
+        def _mmv(a, b):
+            """Value x value product: ~16-bit (3 one-pass dots) in bf16x3
+            mode -- factor-quality work the mixed tier's polish absorbs."""
+            if not bf3:
+                return _mm_raw(a, b, lax.Precision.HIGHEST)
+            a1 = a.astype(jnp.bfloat16).astype(jnp.float32)
+            a2 = a - a1
+            b1 = b.astype(jnp.bfloat16).astype(jnp.float32)
+            b2 = b - b1
+            return _mm_raw(a1, b1) + _mm_raw(a1, b2) + _mm_raw(a2, b1)
+
+        def _mms(a, onehot):
+            """Value x one-hot scatter: exact 3-way split (each output
+            element is a single selected value -- a bf16 cast here would
+            corrupt the stored factors)."""
+            if not bf3:
+                return _mm_raw(a, onehot, lax.Precision.HIGHEST)
+            a1, a2, a3 = _split3(a)
+            return (_mm_raw(a1, onehot) + _mm_raw(a2, onehot)) \
+                + _mm_raw(a3, onehot)
 
         def eliminate(j_local, s0, carry):
             avail = carry
@@ -149,7 +203,7 @@ def _make_kernel(m: int, bs: int, strip: int):
                                             1)).astype(jnp.float32)
             L11Tr = Gr * upper + jnp.eye(strip, dtype=jnp.float32)
             L11Ti = Gi * upper
-            XTr, XTi = _cinv_unit_nilpotent(L11Tr, L11Ti)
+            XTr, XTi = _cinv_unit_nilpotent(L11Tr, L11Ti, _mmv)
 
             rest = bs - s0 - strip
             rre = ore_ref[0, pl.ds(s0 + strip, rest), :]
@@ -158,39 +212,15 @@ def _make_kernel(m: int, bs: int, strip: int):
             Ur = _dg_m(rre, onehotP)
             Ui = _dg_m(rim, onehotP)
             # forward substitution: U12^T = U12^T_raw @ inv(L11^T)
-            Wr = jnp.dot(Ur, XTr, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-                - jnp.dot(Ui, XTi, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-            Wi = jnp.dot(Ur, XTi, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-                + jnp.dot(Ui, XTr, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+            Wr = _mmv(Ur, XTr) - _mmv(Ui, XTi)
+            Wi = _mmv(Ur, XTi) + _mmv(Ui, XTr)
             # trailing update: rest -= W @ L_strip
-            rre_new = rre - (jnp.dot(Wr, Lre,
-                                     precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                             - jnp.dot(Wi, Lim,
-                                       precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32))
-            rim_new = rim - (jnp.dot(Wr, Lim,
-                                     precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-                             + jnp.dot(Wi, Lre,
-                                       precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32))
+            rre_new = rre - (_mmv(Wr, Lre) - _mmv(Wi, Lim))
+            rim_new = rim - (_mmv(Wr, Lim) + _mmv(Wi, Lre))
             # write back W into the rest rows' pivot lanes (they become
             # the U12 values): rest_lanes at pivots = W
-            rre_new = rre_new + jnp.dot(
-                Wr, onehotP, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-                - jnp.dot(Ur, onehotP, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-            rim_new = rim_new + jnp.dot(
-                Wi, onehotP, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-                - jnp.dot(Ui, onehotP, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+            rre_new = rre_new + _mms(Wr, onehotP) - _mms(Ur, onehotP)
+            rim_new = rim_new + _mms(Wi, onehotP) - _mms(Ui, onehotP)
             ore_ref[0, pl.ds(s0 + strip, rest), :] = rre_new
             oim_ref[0, pl.ds(s0 + strip, rest), :] = rim_new
 
@@ -198,9 +228,13 @@ def _make_kernel(m: int, bs: int, strip: int):
     return kernel
 
 
-def _cinv_unit_nilpotent(Lr, Li):
+def _cinv_unit_nilpotent(Lr, Li, mm=None):
     """Complex inverse of I + N (N nilpotent triangular), log-doubling
-    Neumann product -- works for either triangle, no transposes."""
+    Neumann product -- works for either triangle, no transposes.
+    ``mm`` is the real-product primitive (defaults to 6-pass HIGHEST)."""
+    if mm is None:
+        mm = lambda a, b: jnp.dot(a, b, precision=lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
     n = Lr.shape[-1]
     eye = jnp.eye(n, dtype=jnp.float32)
     Nr = eye - Lr
@@ -209,32 +243,22 @@ def _cinv_unit_nilpotent(Lr, Li):
     Pr, Pi = Nr, Ni
     steps = int(np.ceil(np.log2(max(n, 2))))
     for _ in range(steps - 1):
-        Pr2 = jnp.dot(Pr, Pr, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-            - jnp.dot(Pi, Pi, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-        Pi2 = jnp.dot(Pr, Pi, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-            + jnp.dot(Pi, Pr, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-        Xr2 = Xr + jnp.dot(Xr, Pr2, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-            - jnp.dot(Xi, Pi2, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
-        Xi2 = Xi + jnp.dot(Xr, Pi2, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32) \
-            + jnp.dot(Xi, Pr2, precision=lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+        Pr2 = mm(Pr, Pr) - mm(Pi, Pi)
+        Pi2 = mm(Pr, Pi) + mm(Pi, Pr)
+        Xr2 = Xr + mm(Xr, Pr2) - mm(Xi, Pi2)
+        Xi2 = Xi + mm(Xr, Pi2) + mm(Xi, Pr2)
         Xr, Xi, Pr, Pi = Xr2, Xi2, Pr2, Pi2
     return Xr, Xi
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def factor_panel_fused(panel, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
+def factor_panel_fused(panel, interpret: bool = False,
+                       mode: str = "highest"):
     """Virtually-pivoted fused panel factorization.
 
     panel: (..., m, bs) complex64.  Returns (packed rows in pivoted order,
-    perm) with the zlinalg._factor_panel contract."""
+    perm) with the zlinalg._factor_panel contract.  mode='bf16x3' halves
+    the in-kernel MXU pass count (see _make_kernel)."""
     if panel.ndim == 2:
         panel = panel[None]
         squeeze = True
@@ -252,7 +276,7 @@ def factor_panel_fused(panel, interpret: bool = False):
     tim = jnp.swapaxes(pim, -1, -2)
 
     ore, oim, opiv = pl.pallas_call(
-        _make_kernel(m, bs, strip),
+        _make_kernel(m, bs, strip, mode),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, bs, m), lambda b: (b, 0, 0)),

@@ -47,7 +47,7 @@ from jax import lax
 
 __all__ = [
     "zsolve", "zinv", "zinv_refined", "zinv_refined_cols",
-    "zinv_dw_cols", "zsolve_dist",
+    "zinv_dw_cols", "zsolve_dist", "zlu_factor", "zlu_solve",
     "inv", "solve", "eigh", "eig", "fractional_matrix_power",
     "matmul_hp", "matmul_hp3", "supports_lapack_complex",
 ]
@@ -422,6 +422,9 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
         elif panel_impl == "fused":
             from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
             panel, perm = factor_panel_fused(panel)
+        elif panel_impl == "fused3":
+            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
+            panel, perm = factor_panel_fused(panel, mode="bf16x3")
         elif panel_impl == "virtual":
             panel, perm = _factor_panel_virtual(panel)
         elif panel_impl == "split":
@@ -449,6 +452,105 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
             acc = acc - _mm(row[:, :X.shape[0]], X)
         X = jnp.concatenate([_mm(Uinv[ib], acc), X], axis=0)
     return X[:N, :]
+
+
+def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
+    """Factor one (N, N) complex matrix into reusable blocked-LU pieces.
+
+    Same right-looking panel sweep as _zsolve_single but WITHOUT a fused
+    RHS: returns per-panel (perm, Linv, L21, U12 rows) plus the batched
+    Uinv diagonal inverses, so any number of later RHS can be solved at
+    O(N^2 k) without repaying the O(N^3/3) factorization -- the mixed
+    tier's _gr_cols refinement previously refactored A for its second
+    solve (2 LUs per energy on the transmission hot path).
+    """
+    N = A.shape[-1]
+    n_pad = (-N) % bs
+    Np = N + n_pad
+    A = _pad_to(A, Np)
+    nb = Np // bs
+
+    perms, linvs, l21s, u_rows, u_diag = [], [], [], [], []
+    work = A
+    for kb in range(nb):
+        panel = work[:, :bs]
+        if panel_impl == "virtual":
+            panel, perm = _factor_panel_virtual(panel)
+        elif panel_impl == "split":
+            panel, perm = _factor_panel_split(panel)
+        elif panel_impl == "fused":
+            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
+            panel, perm = factor_panel_fused(panel)
+        elif panel_impl == "fused3":
+            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
+            panel, perm = factor_panel_fused(panel, mode="bf16x3")
+        else:
+            perm0 = jnp.arange(panel.shape[0], dtype=jnp.int32)
+            panel, perm = _factor_panel(panel, perm0)
+        rest = work[:, bs:][perm, :]
+        L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
+        Linv = _tri_inv_fast(L11, lower=True, unit=True)
+        U12 = _mm(Linv, rest[:bs, :])
+        L21 = panel[bs:, :]
+        perms.append(perm)
+        linvs.append(Linv)
+        l21s.append(L21)
+        u_rows.append(U12)
+        u_diag.append(jnp.triu(panel[:bs, :]))
+        if kb < nb - 1:
+            work = rest[bs:, :] - _mm(L21, U12)
+    Uinv = _tri_inv_fast(jnp.stack(u_diag), lower=False, unit=False)
+    return {"perms": tuple(perms), "linvs": tuple(linvs),
+            "l21s": tuple(l21s), "u_rows": tuple(u_rows), "uinv": Uinv}
+
+
+def _zlu_solve_single(data, B, N: int, bs: int):
+    """Solve with saved factors: forward substitution panel by panel, then
+    the batched-Uinv backward pass (mirrors _zsolve_single's epilog)."""
+    k = B.shape[-1]
+    nb = len(data["perms"])
+    Np = nb * bs
+    if Np != N:
+        B = jnp.concatenate([B, jnp.zeros((Np - N, k), B.dtype)], axis=0)
+    ys = []
+    work = B
+    for kb in range(nb):
+        rest = work[data["perms"][kb], :]
+        y = _mm(data["linvs"][kb], rest[:bs, :])
+        ys.append(y)
+        if kb < nb - 1:
+            work = rest[bs:, :] - _mm(data["l21s"][kb], y)
+    X = jnp.zeros((0, k), dtype=B.dtype)
+    for ib in range(nb - 1, -1, -1):
+        acc = ys[ib]
+        if X.shape[0] > 0:
+            # U12 rows hold [A-trailing | nothing]: slice the columns that
+            # multiply the already-solved rows
+            acc = acc - _mm(data["u_rows"][ib][:, :X.shape[0]], X)
+        X = jnp.concatenate([_mm(data["uinv"][ib], acc), X], axis=0)
+    return X[:N, :]
+
+
+def zlu_factor(A, *, bs: int | None = None, panel_impl: str = "split"):
+    """Blocked-LU factorization with reusable factors (see
+    _zlu_factor_single); batched over leading dims.  Returns
+    {"data": array pytree (batched like A), "N", "bs"}."""
+    N = A.shape[-1]
+    bs = _pick_block(N, bs)
+    fn = lambda a: _zlu_factor_single(a, bs, panel_impl)
+    for _ in range(A.ndim - 2):
+        fn = jax.vmap(fn)
+    return {"data": fn(A), "N": N, "bs": bs}
+
+
+def zlu_solve(factors, B):
+    """Solve A X = B from zlu_factor output; batched like the factors."""
+    N, bs = factors["N"], factors["bs"]
+    ndim = factors["data"]["uinv"].ndim - 3
+    fn = lambda d, b: _zlu_solve_single(d, b, N, bs)
+    for _ in range(ndim):
+        fn = jax.vmap(fn)
+    return fn(factors["data"], B)
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "panel_impl"))
