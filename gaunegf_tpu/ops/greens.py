@@ -1026,7 +1026,7 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
         R = eye - zl.matmul_hp(A, X)
         ok = jnp.max(jnp.abs(R)) < 0.5
-        return jnp.where(ok, X + _mm(X, R), X)
+        return jnp.where(ok, X + zl._mm_corr(X, R), X)
 
     def device_body(params, H, S, E, w, varying=False):
         N = H.shape[-1]

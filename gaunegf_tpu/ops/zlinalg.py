@@ -61,6 +61,18 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _mm_corr(a, b):
+    """Newton-correction product X @ R at one-pass-bf16 DEFAULT precision.
+
+    R is already small (~1e-5 of |X|), so the correction tolerates ~3e-3
+    relative error (absolute ~1e-8, far below every tier floor) -- and on
+    TPU a DEFAULT matmul costs 1 MXU pass vs HIGHEST's 6.  Measured
+    round 3 (same-session A/B, N=2000 mixed): 18.2 -> 21.1 pts/s from
+    this change alone; accuracy probe unchanged at the digit level.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.DEFAULT)
+
+
 def _tie_vma(x, ref):
     """Tie x's shard_map varying-ness to ref's (no-op outside shard_map).
 
@@ -966,7 +978,7 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
         # safeguard: near-singular systems (kappa ~ 1/eps32) have ||R|| >~ 1
         # and a Newton step would amplify noise -- keep X there
         ok = jnp.max(jnp.abs(R)) < 0.5
-        X = jnp.where(ok, X + _mm(X, R), X)
+        X = jnp.where(ok, X + _mm_corr(X, R), X)
     return X
 
 
@@ -1007,7 +1019,7 @@ def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
         R = I_cols - matmul_hp3(A, X)
         rmax = lax.pmax(jnp.max(jnp.abs(R)), axis_name)
         Xf = lax.all_gather(X, axis_name, axis=1, tiled=True)
-        X = jnp.where(rmax < 0.5, X + _mm(Xf, R), X)
+        X = jnp.where(rmax < 0.5, X + _mm_corr(Xf, R), X)
     return X
 
 
