@@ -113,7 +113,9 @@ class ExecutionConfig:
     # 'split' (default): recursive half-panel factorization -- rank-1
     #   eliminations touch base-width strips, deferred inter-strip
     #   updates run as MXU matmuls (measured +53% at N=1000, 5-7x at
-    #   N=2000 over 'virtual', round 2); 'virtual': transposed-layout
+    #   N=2000 over 'virtual', round 2); 'scan': the same strip algebra
+    #   as ONE lax.scan body (graph stops growing with panel width: the
+    #   cold-compile fix -- round 3); 'virtual': transposed-layout
     #   virtually-pivoted panel (no lane-dim dynamic indexing, the
     #   round-1 default); 'xla': swap-based fused loop; 'fused':
     #   single-Pallas-program panel (device-correct; loses the round-2

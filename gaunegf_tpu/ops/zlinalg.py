@@ -364,6 +364,102 @@ def _factor_panel_split(panel, unroll: int = PANEL_UNROLL,
     return packed, permL[idx]
 
 
+def _cinv_unit_upper(U):
+    """Inverse of a unit-upper-triangular complex (n, n) block by
+    log-doubling Neumann series (N = U - I nilpotent): 2*ceil(log2 n)
+    matmuls, no row loops."""
+    n = U.shape[-1]
+    eye = jnp.eye(n, dtype=U.dtype)
+    Nn = eye - U
+    X = eye + Nn
+    P = Nn
+    steps = int(np.ceil(np.log2(max(n, 2))))
+    for _ in range(steps - 1):
+        P = _mm(P, P)
+        X = X + _mm(X, P)
+    return X
+
+
+def _factor_panel_scan(panel, base: int = PANEL_SPLIT_BASE):
+    """Strip-scanned panel factorization: ONE lax.scan body in the graph.
+
+    Same algorithm as the fused Pallas kernel (virtual pivoting on the
+    transposed (bs, m) layout, per-strip rank-1 eliminations, deferred
+    inter-strip updates via one-hot MXU contractions) but expressed in
+    XLA with fixed shapes: every strip is a dynamic (base, m) slice and
+    the deferred update masks to the not-yet-factored rows.  The graph
+    holds one strip body instead of _factor_panel_split's recursion tree
+    (8 leaves + 7 combine levels at bs=256), which is what made N=2000
+    cold compiles take minutes (VERDICT r2 item 2).  Pivot sequence
+    matches partial pivoting exactly; extra flops vs 'split' are the
+    masked full-width deferred updates (~3% of a solve's total).
+    """
+    m, bs = panel.shape
+    ns = bs // base
+    if bs % base or ns < 2:
+        return _factor_panel_virtual(panel)
+    pt = panel.T                                    # (bs, m)
+    lanes = jnp.arange(m)
+    rows_b = jnp.arange(base)
+    rows_bs = jnp.arange(bs)
+
+    def eliminate(j, st):
+        sb, avail, piv32 = st
+        col = lax.dynamic_index_in_dim(sb, j, axis=0, keepdims=False)
+        mag = jnp.where(avail, jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(mag)
+        onehot = lanes == p
+        pivval = jnp.sum(jnp.where(onehot, col, 0.0))
+        safe = jnp.where(pivval == 0, 1.0, pivval)  # padded/singular guard
+        keep = avail & ~onehot
+        l = jnp.where(keep, col / safe, 0.0)
+        u = jnp.sum(jnp.where(onehot[None, :], sb, 0.0), axis=1)
+        u = jnp.where(rows_b > j, u, 0.0)
+        sb = sb - jnp.outer(u, l)
+        rowj = jnp.where(keep, l, col)
+        sb = jnp.where((rows_b == j)[:, None], rowj[None, :], sb)
+        avail = avail & ~onehot
+        piv32 = piv32.at[j].set(p.astype(jnp.int32))
+        return sb, avail, piv32
+
+    def strip(carry, s):
+        pt, avail, pivrows = carry
+        s0 = s * base
+        sb = lax.dynamic_slice(pt, (s0, 0 * s), (base, m))
+        sb, avail, piv32 = lax.fori_loop(
+            0, base, eliminate,
+            (sb, avail, _tie_vma(jnp.zeros((base,), jnp.int32), pt)))
+        pt = lax.dynamic_update_slice(pt, sb, (s0, 0 * s))
+        pivrows = lax.dynamic_update_slice(pivrows, piv32, (s0,))
+
+        # deferred update of the not-yet-factored rows (one-hot MXU
+        # contractions over the lane dim; see panel_fused._make_kernel)
+        onehotP = (lanes[None, :] == piv32[:, None]).astype(pt.dtype)
+        dg = lambda a, b: lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                          precision=_HI)
+        Lm = jnp.where(avail[None, :], sb, 0.0)       # (base, m) multipliers
+        G = dg(sb, onehotP)                           # strip vals at pivots
+        upper = jnp.triu(jnp.ones((base, base), bool), 1)
+        L11T = jnp.where(upper, G, 0.0) + jnp.eye(base, dtype=pt.dtype)
+        XT = _cinv_unit_upper(L11T)
+        U_raw = dg(pt, onehotP)                       # (bs, base)
+        W = _mm(U_raw, XT)
+        upd = _mm(W, Lm) - _mm(W - U_raw, onehotP)    # update - scatter-in
+        later = (rows_bs >= s0 + base)[:, None]
+        pt = jnp.where(later, pt - upd, pt)
+        return (pt, avail, pivrows), None
+
+    init = (pt, _tie_vma(jnp.ones((m,), bool), pt),
+            _tie_vma(jnp.zeros((bs,), jnp.int32), pt))
+    (pt, avail, pivrows), _ = lax.scan(strip, init,
+                                       jnp.arange(ns, dtype=jnp.int32))
+    rest = jnp.where(avail, size=m - bs)[0].astype(jnp.int32) \
+        if m > bs else jnp.zeros((0,), jnp.int32)
+    perm = jnp.concatenate([pivrows, rest])
+    packed = pt.T[perm, :]
+    return packed, perm
+
+
 # ---------------------------------------------------------------------------
 # Blocked solve: right-looking LU fused with forward substitution
 # ---------------------------------------------------------------------------
@@ -441,6 +537,8 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
             panel, perm = _factor_panel_virtual(panel)
         elif panel_impl == "split":
             panel, perm = _factor_panel_split(panel)
+        elif panel_impl == "scan":
+            panel, perm = _factor_panel_scan(panel)
         else:
             perm0 = jnp.arange(m, dtype=jnp.int32)
             panel, perm = _factor_panel(panel, perm0)
@@ -490,6 +588,8 @@ def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
             panel, perm = _factor_panel_virtual(panel)
         elif panel_impl == "split":
             panel, perm = _factor_panel_split(panel)
+        elif panel_impl == "scan":
+            panel, perm = _factor_panel_scan(panel)
         elif panel_impl == "fused":
             from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
             panel, perm = factor_panel_fused(panel)
@@ -1144,10 +1244,12 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
             packed_l, perm_l = _factor_panel_virtual(pan)
         elif panel_impl == "split":
             packed_l, perm_l = _factor_panel_split(pan)
+        elif panel_impl == "scan":
+            packed_l, perm_l = _factor_panel_scan(pan)
         else:
             raise ValueError(
-                f"zsolve_dist supports panel_impl 'split'/'virtual', "
-                f"got {panel_impl!r}")
+                f"zsolve_dist supports panel_impl 'split'/'virtual'/"
+                f"'scan', got {panel_impl!r}")
         packed = bcast(packed_l, owner)
         perm = bcast(perm_l.astype(jnp.int32), owner)
         L11 = jnp.tril(packed[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)

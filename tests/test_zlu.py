@@ -81,3 +81,25 @@ def test_gr_cols_blocked_matches_lapack(rng):
     finally:
         zlmod.supports_lapack_complex = orig
     assert np.abs(X_blocked - X_lapack).max() < 1e-5
+
+
+def test_scan_panel_matches_virtual(rng):
+    """'scan' panel (one lax.scan body; the compile-time fix) produces the
+    exact partial-pivot sequence and f32-class values."""
+    for m, bs in [(96, 32), (200, 64)]:
+        A = (rng.standard_normal((m, bs))
+             + 1j * rng.standard_normal((m, bs))).astype(np.complex64)
+        pv, permv = zl._factor_panel_virtual(jnp.asarray(A))
+        ps, perms = zl._factor_panel_scan(jnp.asarray(A))
+        assert (np.asarray(permv) == np.asarray(perms)).all(), (m, bs)
+        assert np.abs(np.asarray(pv) - np.asarray(ps)).max() < 1e-3
+
+
+def test_scan_panel_full_solve(rng):
+    N = 192
+    A, B = _rand_system(rng, N, 16)
+    X = np.asarray(zl.zsolve(jnp.asarray(A), jnp.asarray(B),
+                             method="blocked", bs=64, panel_impl="scan"))
+    X_ref = np.linalg.solve(A.astype(np.complex128),
+                            B.astype(np.complex128))
+    assert np.abs(X - X_ref).max() / np.abs(X_ref).max() < 5e-6
