@@ -125,7 +125,7 @@ class ExecutionConfig:
     #   residual-floor- not seed-limited); 'pallas': the round-1
     #   masked-select kernel (experimental).  All produce the identical
     #   partial-pivot sequence (up to near-tie pivots in 'fused3').
-    lu_panel: str = "split"
+    lu_panel: str = "auto"   # auto: 'scan' below N=1536, 'split' above
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

@@ -484,6 +484,19 @@ def _pick_block(N: int, bs: int | None) -> int:
     return b
 
 
+def _pick_panel(N: int, panel_impl: str | None) -> str:
+    """Resolve panel_impl 'auto': 'scan' below N=1536, 'split' above.
+
+    Measured round 3 (same session, fresh compile caches): at N=1000 the
+    strip-scanned panel wins the headline config (222 vs 197 pts/s) and
+    compiles 2.6x faster; at N=2000 the split recursion keeps the lead
+    (18.2-18.5 vs scan's best 15.9).  The crossover tracks the lu_block
+    auto boundary."""
+    if panel_impl in (None, "auto"):
+        return "scan" if N < 1536 else "split"
+    return panel_impl
+
+
 def _pad_to(A, Np):
     """Pad A -> block-diag(A, I); padding factors trivially."""
     N = A.shape[-1]
@@ -643,12 +656,13 @@ def _zlu_solve_single(data, B, N: int, bs: int):
     return X[:N, :]
 
 
-def zlu_factor(A, *, bs: int | None = None, panel_impl: str = "split"):
+def zlu_factor(A, *, bs: int | None = None, panel_impl: str = "auto"):
     """Blocked-LU factorization with reusable factors (see
     _zlu_factor_single); batched over leading dims.  Returns
     {"data": array pytree (batched like A), "N", "bs"}."""
     N = A.shape[-1]
     bs = _pick_block(N, bs)
+    panel_impl = _pick_panel(N, panel_impl)
     fn = lambda a: _zlu_factor_single(a, bs, panel_impl)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
@@ -674,7 +688,7 @@ def _zsolve_batched(A, B, bs: int, panel_impl: str = "split"):
 
 
 def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
-           panel_impl: str = "split"):
+           panel_impl: str = "auto"):
     """Solve A X = B for batched complex A.
 
     method: None (auto), 'lapack' or 'blocked'.
@@ -686,11 +700,12 @@ def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
     if method == "lapack":
         return jnp.linalg.solve(A, B)
     bs = _pick_block(A.shape[-1], bs)
+    panel_impl = _pick_panel(A.shape[-1], panel_impl)
     return _zsolve_batched(A, B, bs, panel_impl)
 
 
 def zinv(A, *, method: str | None = None, bs: int | None = None,
-         panel_impl: str = "split"):
+         panel_impl: str = "auto"):
     """Batched complex inverse (reference utils.py:52-54 ``inv``)."""
     N = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), A.shape)
@@ -1013,7 +1028,7 @@ def dw_from(x):
 
 def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
             bs: int | None = None,
-            panel_impl: str = "split", method: str | None = None):
+            panel_impl: str = "auto", method: str | None = None):
     """Double-word inverse: X_hi + X_lo ~= (A_hi + A_lo)^-1 to ~1e-9.
 
     A is carried as an exact two-float split (A = A_hi + A_lo with A_hi the
@@ -1064,7 +1079,7 @@ def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
 
 
 def zinv_refined(A, *, steps: int = 2, method: str | None = None,
-                 bs: int | None = None, panel_impl: str = "split"):
+                 bs: int | None = None, panel_impl: str = "auto"):
     """Inverse with Newton refinement: X <- X + X (I - A X).
 
     Residual I - A X is evaluated with double-float matmuls, so each step
@@ -1084,7 +1099,7 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
 
 def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
                       axis_name: str = "m", bs: int | None = None,
-                      panel_impl: str = "split", distribute_lu: bool = False):
+                      panel_impl: str = "auto", distribute_lu: bool = False):
     """Column-sharded refined inverse for the model ('m') mesh axis.
 
     Must run inside shard_map over ``axis_name`` with ``n_shards`` ranks.
@@ -1125,7 +1140,7 @@ def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
 
 def zinv_dw_cols(A_hi, A_lo, n_shards: int, *, steps: int = 2,
                  exact_steps: int = 0, axis_name: str = "m",
-                 bs: int | None = None, panel_impl: str = "split",
+                 bs: int | None = None, panel_impl: str = "auto",
                  distribute_lu: bool = False):
     """Column-sharded double-word inverse for the 'm' mesh axis.
 
@@ -1183,7 +1198,7 @@ def zinv_dw_cols(A_hi, A_lo, n_shards: int, *, steps: int = 2,
 
 
 def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
-                bs: int | None = None, panel_impl: str = "split"):
+                bs: int | None = None, panel_impl: str = "auto"):
     """Distributed blocked solve over the model axis: the O(N^3) trailing
     updates shard across ranks; panels stay serial (the ScaLAPACK
     right-looking shape).  Must run inside shard_map over ``axis_name``.
@@ -1207,6 +1222,7 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
     N0 = A.shape[-1]
     k = B_cols.shape[-1]
     bs = _pick_block(N0, bs)
+    panel_impl = _pick_panel(N0, panel_impl)
     M = n_shards
     # pad A -> block-diag(A, I) up to the next multiple of bs*M so the
     # panel-cyclic layout always divides evenly (the padded rows of B are
