@@ -42,7 +42,7 @@ def main():
 
     results = {}
     for label, warm in [("cold", False), ("warm", True)]:
-        eng = EnergyEngine(H, S, g, ExecutionConfig(warm_start=warm))
+        eng = EnergyEngine(H, S, g, ExecutionConfig(warm_start="force" if warm else False))
         T = eng.transmission(E)          # compile + warm call
         t0 = time.time()
         T = eng.transmission(E)

@@ -156,105 +156,43 @@ def _chain_total_fn(static_key):
     return fn
 
 
-@partial(jax.jit, static_argnames=("max_warm", "max_iter"))
-def surface_g_sancho_warm(A, B, g0, conv=SURFACE_GREEN_CONVERGENCE,
-                          max_warm=4, max_iter=64):
-    """Warm-started surface GF: defect refinement from a seed, with a
-    collectively-skipped Sancho fallback.
-
-    The reference's warm-start trick (surfG3D.py:877-879, ``sigmaKprev``
-    reuse when |dE| < 1 eV) is sequential host state; here the seed ``g0``
-    (the previous energy's converged g along the lane's sorted grid) feeds
-    the unrelaxed defect iteration g <- inv(A - B g B+), which contracts
-    locally at the evanescent-mode rate |lambda|^2 -- a few steps suffice
-    for small |dE|.  Acceptance uses a 10x safety margin on the step-size
-    test (the step size only bounds the error through the contraction
-    factor); lanes that miss it fall back to a full Sancho-Rubio loop
-    whose while-cond starts False when the whole vmapped chunk converged
-    warm -- so on dense sorted grids the quadratic-but-expensive decimation
-    is skipped entirely, and near resonances correctness is preserved at
-    the cold cost.
-    """
-    dt = A.dtype
-    Bd = jnp.conj(B).T
-
-    def wcond(state):
-        count, diff, _ = state
-        return (diff > 0.1 * conv) & (count < max_warm)
-
-    def wbody(state):
-        count, _, g = state
-        g_new = _zinv(A - B @ g @ Bd)
-        diff = jnp.max(jnp.abs(g_new - g)) / jnp.maximum(
-            jnp.max(jnp.abs(g_new)), 1e-30)
-        return count + 1, diff, g_new
-
-    _, diff_w, g_w = lax.while_loop(
-        wcond, wbody,
-        (zl._tie_vma(jnp.zeros((), jnp.int32), A),
-         zl._tie_vma(jnp.asarray(jnp.inf), A), g0.astype(dt)))
-    ok_warm = diff_w <= 0.1 * conv
-
-    # Sancho fallback: identical to surface_g_sancho (including the plain
-    # `conv` threshold -- only the warm ACCEPTANCE carries the 10x safety
-    # margin), but the loop's diff carry starts at the warm refinement's
-    # diff -- when every lane of the vmapped chunk accepted its seed the
-    # loop body never executes
-    def cond(state):
-        *_, diff, count = state
-        return (diff > conv) & (count < max_iter)
-
-    def body(state):
-        eps_s, eps, al, be, _, count = state
-        g = _zinv(eps)
-        agb = al @ g @ be
-        bga = be @ g @ al
-        eps_s_new = eps_s - agb
-        eps_new = eps - agb - bga
-        al_new = al @ g @ al
-        be_new = be @ g @ be
-        diff = jnp.max(jnp.abs(eps_s_new - eps_s)) / jnp.maximum(
-            jnp.max(jnp.abs(eps_s_new)), 1e-30)
-        return (eps_s_new, eps_new, al_new, be_new, diff, count + 1)
-
-    # the loop-entry diff is derived from the ACCEPTANCE verdict (not the
-    # raw warm diff): a rejected warm result must always trigger the full
-    # fallback, even when its last step size already dipped below conv
-    diff0 = jnp.where(ok_warm, jnp.zeros_like(diff_w),
-                      jnp.full_like(diff_w, jnp.inf))
-    init = (A.astype(dt), A.astype(dt), B.astype(dt), Bd.astype(dt),
-            diff0, zl._tie_vma(jnp.zeros((), jnp.int32), A))
-    eps_s, *_ = lax.while_loop(cond, body, init)
-    g_cold = _zinv(eps_s)
-    return jnp.where(ok_warm, g_w, g_cold)
-
-
 @lru_cache(maxsize=None)
 def _chain_contacts_warm_fn(static_key):
     """Warm provider fn: (params, E, state) -> (per-contact sigmas, state').
 
-    state is a tuple of per-contact surface-GF seeds (the previous lane
-    energy's converged g); each contact's surface fixed point is solved
-    ONCE per energy and shared by Sigma_tot and both Gammas in the warm
-    engines (greens._build_trans_engine_warm / _build_sum_engine_warm).
+    Each contact's surface fixed point is solved ONCE per energy and
+    shared by Sigma_tot and both Gammas in the warm engines
+    (greens._build_trans_engine_warm / _build_sum_engine_warm).
+
+    DELIBERATELY NO cross-energy seeding: the chain surface GF satisfies a
+    quadratic matrix equation whose unrelaxed defect iteration
+    g <- inv(A - B g B+) has SPURIOUS attracting fixed points near surface
+    band features.  The round-3 on-device investigation caught one
+    exactly: at E=1.4231 (perfect chain, eta=1e-4) the previous-energy
+    seed converged with diff=0.0 and contraction 0.09 to a solution 2.8
+    away from the true retarded g, with all Im g_ii < 0 -- every cheap
+    local acceptance test (step size, contraction estimate, diagonal DOS
+    sign) passes on it, and T(E) came out wrong by 0.47.  Sancho-Rubio
+    decimation constructs the retarded branch and is itself quadratically
+    convergent, so seeding buys little and risks silent O(1) errors; the
+    warm engines' value for chain contacts is the shared solve, which
+    this keeps.
     """
     inds, N, eta, _method, conv = static_key
 
     def fn(params, E, state):
         sigs = []
-        new_state = []
         for i in range(len(inds)):
             c = params["contacts"][i]
             A = (E + 1j * eta) * c["Salpha"] - c["alpha"]
             B = (E + 1j * eta) * c["Sbeta"] - c["beta"]
-            g = surface_g_sancho_warm(A, B, state[i], conv)
+            g = surface_g_sancho(A, B, conv)
             t = E * c["stau"] - c["tau"]
             blk = t @ g @ jnp.conj(t).T
             ix = np.ix_(np.asarray(inds[i]), np.asarray(inds[i]))
             sig = jnp.zeros((N, N), dtype=blk.dtype).at[ix].add(blk)
             sigs.append(sig)
-            new_state.append(g)
-        return tuple(sigs), tuple(new_state)
+        return tuple(sigs), state
 
     return fn
 
@@ -359,6 +297,13 @@ class Chain1DSelfEnergy(_CompatMixin):
     c) full specification with ``taus/staus`` as matrices and
        ``alphas/a_overlaps/betas/b_overlaps``.
     """
+
+    # warm engines are OFF by default for chain contacts: the Sancho
+    # fixed point is a negligible fraction of the per-energy solve, and
+    # the round-3 TPU A/B measured warm T(E) at 0.84x cold (the sound
+    # in-band acceptance rejects most real-axis seeds).  Engines honor
+    # this unless ExecutionConfig(warm_start="force").
+    warm_profitable = False
 
     def __init__(self, Fock, Overlap, inds_list, taus=None, staus=None,
                  alphas=None, a_overlaps=None, betas=None, b_overlaps=None,
@@ -532,11 +477,12 @@ class Chain1DSelfEnergy(_CompatMixin):
     def contacts_warm_apply(self):
         """(fn(params, E, state) -> (sigs_tuple, state'), params, init).
 
-        Parity note: the reference's chain provider has no warm start (its
-        sigmaKprev trick lives only in surfG3D.py:877-879); this closes
-        that gap for T(E)/density sweeps with chain contacts -- each
-        energy's surface fixed points are ALSO solved once and shared by
-        Sigma_tot and the Gammas (VERDICT r2 'What's missing' item 3)."""
+        Shared-solve interface for the warm engines: each energy's surface
+        fixed points are solved once and reused by Sigma_tot and the
+        Gammas.  Cross-energy seeding is deliberately absent -- see
+        _chain_contacts_warm_fn for the spurious-fixed-point hazard the
+        round-3 device investigation uncovered (the reference's
+        sigmaKprev trick, surfG3D.py:877-879, carries the same risk)."""
         return (_chain_contacts_warm_fn(self._static_key()), self.params(),
                 self._warm_init())
 
