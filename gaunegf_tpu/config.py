@@ -146,9 +146,12 @@ class ExecutionConfig:
     # energy (pure MXU matmuls) instead of a fresh LU factorization, with
     # a residual-gated batched-LU fallback (first point of each segment,
     # resonances, coarse grids).  Pays off on dense sorted sweeps where
-    # |dE| * ||S G|| << 1; the fallback keeps coarse/contour grids correct
-    # at ~30% overhead.  Off by default.
-    continuation: bool = False
+    # |dE| * ||S G|| << 1.  Values: False (off, default); True (all
+    # grids); "contour" -- grid-aware: ONLY the equilibrium contour scan
+    # of the fused density dispatches rides continuation (where round 1
+    # measured +43%) while real-axis segments keep the batched LU (where
+    # continuation loses near resonances).
+    continuation: object = False
     # plain Newton-Schulz iterations per continuation step (0 = auto:
     # 2 for 'mixed' -- the double-float polish squares once more -- and
     # 3 for 'fast')

@@ -183,12 +183,15 @@ def density_eq_n(F, S, g, Eminf, Emin, mu, N1=100, N2=50, T=TEMPERATURE,
     slow links)."""
     E_r, w_r = quad.real_axis_grid(Eminf, Emin, N2, T_real)
     z_c, w_c = quad.contour_grid(Emin, mu, N1, T, method)
-    E = np.concatenate([np.asarray(E_r, complex), np.asarray(z_c, complex)])
-    w = np.concatenate([-np.asarray(w_r, complex), np.asarray(w_c, complex)])
     if verbose:
         print(f"Fused integration: {N2} real-axis + {len(z_c)} contour "
               "points...")
-    im = _engine(F, S, g, exec_cfg, mesh).gr_sum(E, w, epilog="im")
+    # grid-aware continuation: the contour lanes ride Newton-Schulz when
+    # enabled (exec_cfg.continuation in (True, 'contour')), the real-axis
+    # segment stays batched LU; still ONE dispatch either way
+    im = _engine(F, S, g, exec_cfg, mesh).density_eq_split(
+        np.asarray(E_r, complex), -np.asarray(w_r, complex),
+        np.asarray(z_c, complex), np.asarray(w_c, complex))
     return (1 + 0j) * im / np.pi
 
 

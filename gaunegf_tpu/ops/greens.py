@@ -981,6 +981,139 @@ _CHAIN_GATE_FAST = 5e-3     # r^2 < 2.5e-5 ~ the complex64 LU floor
 _CHAIN_GATE_MIXED = 3e-2    # r^4 < 8e-7 < the polish floor
 
 
+def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
+    """Shared Newton-Schulz continuation scan body (see
+    _build_sum_engine_chain): (params, H, S, E, w, varying) -> weighted
+    sum.  E/w must be lane-major (each lane a contiguous sorted segment).
+    epilog='im' accumulates Im(w G) in real dtype."""
+    mixed = exec_cfg.precision == "mixed"
+    k_steps = exec_cfg.chain_steps or (2 if mixed else 3)
+    gate = _CHAIN_GATE_MIXED if mixed else _CHAIN_GATE_FAST
+    mm = zl._mm
+
+    def assemble(params, e, H, S):
+        sig = sig_tot_fn(params, e)
+        return (e * S - H - sig).astype(H.dtype)
+
+    def newton(A, X0):
+        eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+        X, r = X0, None
+        for i in range(k_steps):
+            Y = mm(A, X)
+            if i == k_steps - 1:
+                r = jnp.max(jnp.abs(Y - eye))
+            X = 2.0 * X - mm(X, Y)
+        return X, r
+
+    def lu(A):
+        if mixed:
+            return zl.zinv_refined(A, steps=exec_cfg.refine_steps,
+                                   bs=exec_cfg.lu_block,
+                                   panel_impl=exec_cfg.lu_panel)
+        return zl.zinv(A, bs=exec_cfg.lu_block,
+                       panel_impl=exec_cfg.lu_panel)
+
+    def polish(A, X):
+        eye = jnp.eye(A.shape[-1], dtype=A.dtype)
+        R = eye - zl.matmul_hp(A, X)
+        ok = jnp.max(jnp.abs(R)) < 0.5
+        return jnp.where(ok, X + zl._mm_corr(X, R), X)
+
+    def body(params, H, S, E, w, varying=False):
+        N = H.shape[-1]
+        dt = H.dtype
+        adt = jnp.real(H).dtype if epilog == "im" else dt
+        lanes = E.shape[-1]
+        init = ((jnp.zeros((N, N), adt), jnp.zeros((N, N), adt)),
+                jnp.zeros((lanes, N, N), dt), jnp.array(False))
+        if varying:
+            init = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+
+        def scan_fn(carry, inputs):
+            acc, X_prev, valid = carry
+            Eb, wb = inputs
+            A = jax.vmap(lambda e: assemble(params, e, H, S))(Eb)
+            Xn, r = jax.vmap(newton)(A, X_prev)
+            ok = valid & (jnp.max(r) < gate)
+            X = lax.cond(ok, lambda a, x: x, lambda a, x: jax.vmap(lu)(a),
+                         A, Xn)
+            if mixed:
+                X = jax.vmap(polish)(A, X)
+            contrib = jnp.sum(wb[:, None, None] * X, axis=0)
+            if epilog == "im":
+                contrib = jnp.imag(contrib)
+            return (_kahan_add(acc, contrib.astype(adt)), X, ok | True), None
+
+        (acc, _, _), _ = lax.scan(scan_fn, init, (E, w))
+        return acc[0] + acc[1]
+
+    return body
+
+
+@lru_cache(maxsize=None)
+def _build_density_eq_split_engine(sig_tot_fn, exec_cfg: ExecutionConfig,
+                                   mesh: Optional[Mesh]):
+    """Fused equilibrium dispatch with grid-aware continuation (VERDICT r2
+    item 1): the CONTOUR grid rides the Newton-Schulz continuation scan
+    (lane-major, previous-point seeds -- the contour is smooth and far
+    from the real axis, where continuation measured +43% round 1), while
+    the real-axis lower segment keeps the batched-LU scan (resonances
+    break the seeds there).  Both accumulate Im(w G) on device and combine
+    into ONE dispatch + ONE transfer per SCF cycle."""
+
+    def std_scan(params, H, S, E, w, varying=False):
+        N = H.shape[-1]
+        rdt = jnp.real(H).dtype
+
+        def scan_fn(carry, inputs):
+            Eb, wb = inputs
+            vals = jax.vmap(
+                lambda e, ww: jnp.imag(_point_gr_weighted(
+                    e, ww, H, S, params, sig_tot_fn, None,
+                    exec_cfg)))(Eb, wb)
+            return _kahan_add(carry, jnp.sum(vals, axis=0)), None
+
+        init = (jnp.zeros((N, N), rdt), jnp.zeros((N, N), rdt))
+        if varying:
+            init = jax.tree_util.tree_map(
+                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+        (s, c), _ = lax.scan(scan_fn, init, (E, w))
+        return s + c
+
+    chain_scan = _make_chain_scan(sig_tot_fn, exec_cfg, epilog="im")
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s):
+            params, H, S, Er, wr, Ec, wc = merge_tree(
+                (params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s))
+            out = std_scan(params, H, S, Er[0], wr[0]) \
+                + chain_scan(params, H, S, Ec[0], wc[0])
+            return split_traced(out)
+        return engine
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    def engine(params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s):
+        def per_device(params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s):
+            params, H, S, Er, wr, Ec, wc = merge_tree(
+                (params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s))
+            out = std_scan(params, H, S, Er[0], wr[0], varying=True) \
+                + chain_scan(params, H, S, Ec[0], wc[0], varying=True)
+            return split_traced(lax.psum(out, ENERGY_AXIS))
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS),
+                      P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            out_specs=P(),
+        )(params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s)
+
+    return engine
+
+
 @lru_cache(maxsize=None)
 def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
                             mesh: Optional[Mesh]):
@@ -1486,7 +1619,9 @@ class EnergyEngine:
         if self._use_warm():
             return _ep(self._warm_sum("gr", E, w))
         fn, params = self.provider.total_apply()
-        if self.exec_cfg.continuation and not self.high:
+        # continuation == "contour" applies only inside the grid-aware
+        # fused dispatch (density_eq_split); plain grids keep the LU path
+        if self.exec_cfg.continuation is True and not self.high:
             eng = _build_sum_engine_chain(fn, self.exec_cfg, self.mesh)
             E_lay, _, _ = _layout_lane_major(
                 np.asarray(E, dtype=np.complex128), self.mesh,
@@ -1545,7 +1680,7 @@ class EnergyEngine:
         m = self.mesh.shape[MODEL_AXIS]
         N = (self.H_s[0] if self.high else self.H_s).re.shape[-1]
         if (m == 1 or N % m or (self.high and not dw_ok)
-                or self.exec_cfg.continuation or self._use_warm()):
+                or self.exec_cfg.continuation is True or self._use_warm()):
             return 1
         return m
 
@@ -1619,7 +1754,8 @@ class EnergyEngine:
         double-word / continuation engine families, which have no fused
         variant; model-sharded runs use the fused ('e', 'm') sibling."""
         self._log_dispatch("density_neq", np.size(E_eq) + np.size(E_neq))
-        if self._use_warm() or self.high or self.exec_cfg.continuation:
+        if (self._use_warm() or self.high
+                or self.exec_cfg.continuation is True):
             return (self.gr_sum(E_eq, w_eq, epilog="im")
                     + self.gless_sum(E_neq, w_neq, contact))
         from gaunegf_tpu.utils.logging import perf_span
@@ -1642,6 +1778,39 @@ class EnergyEngine:
             out = eng(self._params_split(params), self.H_s, self.S_s,
                       Eq_s, wq_s, En_s, wn_s)
         return merge_host(out).astype(np.complex128)
+
+    def density_eq_split(self, E_real, w_real, E_contour, w_contour):
+        """Im(sum w G) over real-axis + contour grids in ONE dispatch, the
+        contour lanes riding Newton-Schulz continuation (grid-aware: the
+        real segment keeps batched LU).  Falls back to a single fused
+        gr_sum when continuation does not apply (warm/high/model-sharded
+        engines, or continuation disabled)."""
+        use_split = (self.exec_cfg.continuation in ("contour", True)
+                     and not self.high and not self._use_warm()
+                     and self._model_shards() == 1)
+        if not use_split:
+            E = np.concatenate([np.asarray(E_real, complex),
+                                np.asarray(E_contour, complex)])
+            w = np.concatenate([np.asarray(w_real, complex),
+                                np.asarray(w_contour, complex)])
+            return self.gr_sum(E, w, epilog="im")
+        from gaunegf_tpu.utils.logging import perf_span
+        fn, params = self.provider.total_apply()
+        eng = _build_density_eq_split_engine(fn, self.exec_cfg, self.mesh)
+        Er_s, wr_s, _ = self._prep(E_real, w_real)
+        Ec_lay, _, _ = _layout_lane_major(
+            np.asarray(E_contour, dtype=np.complex128), self.mesh,
+            self.exec_cfg.energy_chunk)
+        wc_lay, _, _ = _layout_lane_major(
+            np.asarray(w_contour, dtype=np.complex128), self.mesh,
+            self.exec_cfg.energy_chunk, fill=0.0)
+        with perf_span("density_eq_split",
+                       nE=np.size(E_real) + np.size(E_contour)):
+            out = eng(self._params_split(params), self.H_s, self.S_s,
+                      Er_s, wr_s,
+                      split_tree(Ec_lay.astype(self.cdtype), self.cdtype),
+                      split_tree(wc_lay.astype(self.cdtype), self.cdtype))
+        return merge_host(out).astype(np.float64)
 
     def transmission(self, E):
         """T(E) over the grid (restricted channel)."""

@@ -184,3 +184,46 @@ def test_density_neq_fused_dense_fallback():
                                N1=16, N2=8, Nnegf=16, T=300.0,
                                exec_cfg=ExecutionConfig(use_lowrank=False))
     np.testing.assert_allclose(dense, lowrank, rtol=0, atol=1e-7)
+
+
+def test_density_eq_split_continuation_matches_plain(rng):
+    """Grid-aware continuation (contour lanes ride Newton-Schulz) gives
+    the same equilibrium density as the plain fused dispatch."""
+    from gaunegf_tpu import density as dens
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+
+    N = 32
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1))
+    S = np.eye(N)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(N - 4, N)],
+                           sig1=-0.1j)
+    kw = dict(Eminf=-40.0, Emin=-4.0, mu=0.3, N1=64, N2=24)
+    P0 = dens.density_eq_n(H, S, g, exec_cfg=ExecutionConfig(
+        energy_chunk=8), **kw)
+    P1 = dens.density_eq_n(H, S, g, exec_cfg=ExecutionConfig(
+        energy_chunk=8, continuation="contour"), **kw)
+    # x64/CPU runs the chain without the mixed polish: gate-limited
+    # (~gate^2 = 2.5e-5) accuracy, same as the standalone chain engine
+    np.testing.assert_allclose(P1, P0, rtol=0, atol=5e-5)
+
+
+def test_density_eq_split_continuation_sharded(rng):
+    """The split engine's sharded path (psum over 'e') matches serial."""
+    from gaunegf_tpu import density as dens
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.parallel.mesh import energy_mesh
+
+    N = 32
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1))
+    S = np.eye(N)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(N - 4, N)],
+                           sig1=-0.1j)
+    kw = dict(Eminf=-40.0, Emin=-4.0, mu=0.3, N1=64, N2=24)
+    cfg = ExecutionConfig(energy_chunk=4, continuation="contour")
+    P0 = dens.density_eq_n(H, S, g, exec_cfg=cfg, **kw)
+    P1 = dens.density_eq_n(H, S, g, exec_cfg=cfg, mesh=energy_mesh(), **kw)
+    # sharded vs serial split engine: same per-lane chains, different
+    # lane partitioning -> gate-limited agreement (see above)
+    np.testing.assert_allclose(P1, P0, rtol=0, atol=5e-5)
