@@ -736,36 +736,51 @@ def _matmul_hp_real(a, b):
     return p1, (p2 + p3) + p4
 
 
-def _matmul_hp_real3(a, b):
-    """Three-product double-float matmul: drops the a_lo @ b_lo term.
+def _bf_trunc(x):
+    """Truncate an f32 array to bf16-representable values via BIT MASKING.
 
-    That term is ~2^-24 relative to the leading product -- far below the
-    mixed tier's ~2e-6 target -- so the residual path saves 1 of 4 matmul
-    dispatches per real product (the chip's matmul time is dispatch-count
-    bound at every precision; see BASELINE.md)."""
-    a_hi, a_lo = _split_hi(a)
-    b_hi, b_lo = _split_hi(b)
-    p1 = jnp.matmul(a_hi, b_hi, precision=_HI)
-    p2 = jnp.matmul(a_hi, b_lo, precision=_HI)
-    p3 = jnp.matmul(a_lo, b_hi, precision=_HI)
-    return p1, p2 + p3
+    The obvious ``x.astype(bf16).astype(f32)`` is ELIDED by XLA's
+    convert-pair simplification around matmuls (caught on device round 3:
+    the 'split' degenerated to a single one-pass-bf16 product, 1.5e-2
+    residual error); the mask survives every pass.  Truncation (not
+    round-to-nearest) keeps x - _bf_trunc(x) exactly representable."""
+    xi = lax.bitcast_convert_type(x, jnp.uint32)
+    return lax.bitcast_convert_type(xi & np.uint32(0xFFFF0000), jnp.float32)
+
+
+def _matmul_res_bf16(a, b):
+    """~f32-accurate real matmul from SIX one-pass bf16 MXU products.
+
+    Each operand splits into three bf16-exact slices (8 mantissa bits
+    each, bit-masked so XLA cannot elide the split); the six slice
+    products with i+j <= 2 reconstruct the product to ~2^-24 relative
+    (dropped i+j >= 3 terms are <= 2^-24), each accumulating in f32 on
+    the MXU.  Versus three HIGHEST (6-pass) products this is 6 passes
+    instead of 18 for the same residual quality: measured +31% on the
+    N=2000 mixed density sum and +6% at N=1000 (same-session A/B,
+    accuracy probe unchanged at 3.6e-6)."""
+    d = lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.DEFAULT)
+    a1 = _bf_trunc(a)
+    ra = a - a1
+    a2 = _bf_trunc(ra)
+    a3 = ra - a2
+    b1 = _bf_trunc(b)
+    rb = b - b1
+    b2 = _bf_trunc(rb)
+    b3 = rb - b2
+    return d(a1, b1) + (d(a1, b2) + d(a2, b1)) \
+        + (d(a1, b3) + d(a2, b2) + d(a3, b1))
 
 
 def matmul_hp3(a, b):
-    """Complex double-float matmul for ~1e-6-target residuals (12 vs 16
-    matmul dispatches; forward error gains ~6e-8 relative from the dropped
-    lo x lo terms, negligible at the mixed tier)."""
+    """Complex residual-quality matmul: bf16-sliced six-pass real products
+    (see _matmul_res_bf16) -- the mixed tier's I - A X primitive."""
     if a.dtype in (jnp.complex128, jnp.float64):
         return jnp.matmul(a, b, precision=_HI)
     ar, ai = jnp.real(a), jnp.imag(a)
     br, bi = jnp.real(b), jnp.imag(b)
-    rr_h, rr_l = _matmul_hp_real3(ar, br)
-    ii_h, ii_l = _matmul_hp_real3(ai, bi)
-    ri_h, ri_l = _matmul_hp_real3(ar, bi)
-    ir_h, ir_l = _matmul_hp_real3(ai, br)
-    re = (rr_h - ii_h) + (rr_l - ii_l)
-    im = (ri_h + ir_h) + (ri_l + ir_l)
-    return re + 1j * im
+    return (_matmul_res_bf16(ar, br) - _matmul_res_bf16(ai, bi)) \
+        + 1j * (_matmul_res_bf16(ar, bi) + _matmul_res_bf16(ai, br))
 
 
 def matmul_hp(a, b):
