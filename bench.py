@@ -34,9 +34,11 @@ CPU_BASELINE_PTS_PER_SEC = 5.0
 # session.  Two fixed probes are timed every run and their ratio to the
 # round-3 reference session is reported, plus value_normalized =
 # value / anchor_ratio.  ANCHOR_REF_* were measured in the same round-3
-# session that produced BENCH_r03; None disables normalization.
-ANCHOR_REF_MATMUL_GFLOPS = 6522.0   # 32 chained 1024^2 f32 HIGHEST matmuls
-ANCHOR_REF_SOLVE_PTS = 729.0        # N=512 fast-tier gr_sum, 128 points
+# calibration run that produced {N1000: 214.2, N2000: 32.5, T(E): 335.3}
+# (a slow-service session; ratios > 1 mean a faster session than that).
+# None disables normalization.
+ANCHOR_REF_MATMUL_GFLOPS = 1961.7   # 32 chained 1024^2 f32 HIGHEST matmuls
+ANCHOR_REF_SOLVE_PTS = 458.5        # N=512 fast-tier gr_sum, 128 points
 
 
 def _measure_anchor_matmul():

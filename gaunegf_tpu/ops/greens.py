@@ -221,7 +221,7 @@ def _gr_cols(E, H, S, sigma, cols, exec_cfg):
                             panel_impl=exec_cfg.lu_panel)
     X = zl.zlu_solve(factors, B)
     if mixed:
-        R = B - zl.matmul_hp(A, X)
+        R = B - zl.matmul_hp3(A, X)
         X = X + zl.zlu_solve(factors, R)
     return X
 
@@ -345,7 +345,7 @@ def _solve_cols_sharded(A, B, n_shards, exec_cfg):
                                     panel_impl=exec_cfg.lu_panel)
     Y = solve(B)
     if _mp_steps(exec_cfg, A.dtype):
-        R = B - zl.matmul_hp(A, Y)
+        R = B - zl.matmul_hp3(A, Y)
         Y = Y + solve(R)
     return Y
 
@@ -1015,7 +1015,7 @@ def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
 
     def polish(A, X):
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
-        R = eye - zl.matmul_hp(A, X)
+        R = eye - zl.matmul_hp3(A, X)
         ok = jnp.max(jnp.abs(R)) < 0.5
         return jnp.where(ok, X + zl._mm_corr(X, R), X)
 
@@ -1157,7 +1157,7 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
 
     def polish(A, X):
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
-        R = eye - zl.matmul_hp(A, X)
+        R = eye - zl.matmul_hp3(A, X)
         ok = jnp.max(jnp.abs(R)) < 0.5
         return jnp.where(ok, X + zl._mm_corr(X, R), X)
 
