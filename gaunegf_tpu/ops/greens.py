@@ -995,12 +995,12 @@ def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
         sig = sig_tot_fn(params, e)
         return (e * S - H - sig).astype(H.dtype)
 
-    def newton(A, X0):
+    def newton(A, X0, k):
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
         X, r = X0, None
-        for i in range(k_steps):
+        for i in range(k):
             Y = mm(A, X)
-            if i == k_steps - 1:
+            if i == k - 1:
                 r = jnp.max(jnp.abs(Y - eye))
             X = 2.0 * X - mm(X, Y)
         return X, r
@@ -1022,6 +1022,12 @@ def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
     def body(params, H, S, E, w, varying=False):
         N = H.shape[-1]
         dt = H.dtype
+        # complex128 (x64/CPU): the polish residual is exact, so spend one
+        # more Newton step + the tight gate to reach ~1e-10 instead of the
+        # mixed tier's gate-limited ~1e-6; no TPU cost (device runs c64)
+        x64 = dt == jnp.complex128
+        k_loc = max(k_steps, 3) if x64 else k_steps
+        gate_loc = min(gate, _CHAIN_GATE_FAST) if x64 else gate
         adt = jnp.real(H).dtype if epilog == "im" else dt
         lanes = E.shape[-1]
         init = ((jnp.zeros((N, N), adt), jnp.zeros((N, N), adt)),
@@ -1034,11 +1040,14 @@ def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
             acc, X_prev, valid = carry
             Eb, wb = inputs
             A = jax.vmap(lambda e: assemble(params, e, H, S))(Eb)
-            Xn, r = jax.vmap(newton)(A, X_prev)
-            ok = valid & (jnp.max(r) < gate)
+            Xn, r = jax.vmap(lambda a, x: newton(a, x, k_loc))(A, X_prev)
+            ok = valid & (jnp.max(r) < gate_loc)
             X = lax.cond(ok, lambda a, x: x, lambda a, x: jax.vmap(lu)(a),
                          A, Xn)
-            if mixed:
+            # polish also on complex128 (x64/CPU): its residual is
+            # exact, so the chain reaches ~1e-10 there instead of the
+            # mixed-gate-limited ~1e-6
+            if mixed or x64:
                 X = jax.vmap(polish)(A, X)
             contrib = jnp.sum(wb[:, None, None] * X, axis=0)
             if epilog == "im":
@@ -1137,12 +1146,12 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
         sig = sig_tot_fn(params, e)
         return (e * S - H - sig).astype(H.dtype)
 
-    def newton(A, X0):
+    def newton(A, X0, k):
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
         X, r = X0, None
-        for i in range(k_steps):
+        for i in range(k):
             Y = _mm(A, X)
-            if i == k_steps - 1:
+            if i == k - 1:
                 r = jnp.max(jnp.abs(Y - eye))
             X = 2.0 * X - _mm(X, Y)
         return X, r
@@ -1164,6 +1173,10 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
     def device_body(params, H, S, E, w, varying=False):
         N = H.shape[-1]
         dt = H.dtype
+        # see _make_chain_scan: exact-residual polish on complex128
+        x64 = dt == jnp.complex128
+        k_loc = max(k_steps, 3) if x64 else k_steps
+        gate_loc = min(gate, _CHAIN_GATE_FAST) if x64 else gate
         lanes = E.shape[-1]
         init = ((jnp.zeros((N, N), dt), jnp.zeros((N, N), dt)),
                 jnp.zeros((lanes, N, N), dt), jnp.array(False))
@@ -1175,11 +1188,11 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
             acc, X_prev, valid = carry
             Eb, wb = inputs
             A = jax.vmap(lambda e: assemble(params, e, H, S))(Eb)
-            Xn, r = jax.vmap(newton)(A, X_prev)
-            ok = valid & (jnp.max(r) < gate)
+            Xn, r = jax.vmap(lambda a, x: newton(a, x, k_loc))(A, X_prev)
+            ok = valid & (jnp.max(r) < gate_loc)
             X = lax.cond(ok, lambda a, x: x, lambda a, x: jax.vmap(lu)(a),
                          A, Xn)
-            if mixed:
+            if mixed or x64:
                 X = jax.vmap(polish)(A, X)
             contrib = jnp.sum(wb[:, None, None] * X, axis=0).astype(dt)
             # every subsequent step has a valid seed; `ok | True` (not a

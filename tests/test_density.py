@@ -203,9 +203,8 @@ def test_density_eq_split_continuation_matches_plain(rng):
         energy_chunk=8), **kw)
     P1 = dens.density_eq_n(H, S, g, exec_cfg=ExecutionConfig(
         energy_chunk=8, continuation="contour"), **kw)
-    # x64/CPU runs the chain without the mixed polish: gate-limited
-    # (~gate^2 = 2.5e-5) accuracy, same as the standalone chain engine
-    np.testing.assert_allclose(P1, P0, rtol=0, atol=5e-5)
+    # the chain polish runs on complex128 too (exact residual): ~1e-9
+    np.testing.assert_allclose(P1, P0, rtol=0, atol=1e-8)
 
 
 def test_density_eq_split_continuation_sharded(rng):
@@ -224,6 +223,4 @@ def test_density_eq_split_continuation_sharded(rng):
     cfg = ExecutionConfig(energy_chunk=4, continuation="contour")
     P0 = dens.density_eq_n(H, S, g, exec_cfg=cfg, **kw)
     P1 = dens.density_eq_n(H, S, g, exec_cfg=cfg, mesh=energy_mesh(), **kw)
-    # sharded vs serial split engine: same per-lane chains, different
-    # lane partitioning -> gate-limited agreement (see above)
-    np.testing.assert_allclose(P1, P0, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(P1, P0, rtol=0, atol=1e-8)
