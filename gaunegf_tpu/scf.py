@@ -267,11 +267,30 @@ class NEGF:
             for j, v2 in enumerate(self.dp_list):
                 self.p_mat[i, j] = np.sum(v1 * v2)
         if pulay:
-            coeff = np.linalg.solve(self.p_mat, self.p_b)[:-1]
-            if self.verbose:
-                print("Applying Pulay Coeff: ", coeff)
-            self.P = sum(self.p_list[i] * coeff[i] for i in range(len(coeff)))
-            self.p_list[0] = self.P
+            # The DIIS system goes singular when the residual vectors in
+            # the window are (numerically) identical -- which happens
+            # precisely when the density is converged to machine noise
+            # (the contour-continuation engines reach ~1e-15 residuals,
+            # unlike the reference whose solve at scf.py:646 never sees
+            # this).  A singular/ill-conditioned window also amplifies
+            # noise through huge mixing coefficients; in both cases the
+            # damped step IS the right update, so fall back to it.
+            try:
+                coeff = np.linalg.solve(self.p_mat, self.p_b)[:-1]
+            except np.linalg.LinAlgError:
+                coeff = None
+            if coeff is not None and np.all(np.isfinite(coeff)) \
+                    and np.sum(np.abs(coeff)) < 1e3:
+                if self.verbose:
+                    print("Applying Pulay Coeff: ", coeff)
+                self.P = sum(self.p_list[i] * coeff[i]
+                             for i in range(len(coeff)))
+                self.p_list[0] = self.P
+            else:
+                if self.verbose:
+                    print("Pulay window degenerate (converged to noise "
+                          "floor); applying damping value=", damping)
+                self.P = self.p_list[0]
         else:
             if self.verbose:
                 print("Applying Damping value=", damping)

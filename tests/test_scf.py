@@ -149,3 +149,24 @@ def test_matrix_fock_backend(tmp_path):
     negf.SCF(conv=1e-6, max_cycles=5)
     # fixed Fock: converges immediately (dE = 0 after first rebuild)
     assert negf.conv_level < 1e-6
+
+
+def test_pulay_degenerate_window_falls_back_to_damping(tmp_path):
+    """A converged-to-noise-floor density makes the DIIS residual window
+    singular (identical residual vectors); PMix must fall back to the
+    damped step instead of raising LinAlgError (the continuation engines
+    converge densities to ~1e-15, unlike the reference's scf.py:646)."""
+    be = make_backend(U=0.2)
+    negf = NEGF(be, name=str(tmp_path / "pd"), verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    negf.FockToP()
+    negf.PMix(0.05, pulay=False)
+    P_fixed = negf.P.copy()
+    # feed the window identical densities: every residual is identical,
+    # p_mat is exactly singular by construction
+    for _ in range(len(negf.p_list) + 1):
+        negf.P = P_fixed.copy()
+        rmsdp, maxdp = negf.PMix(0.05, pulay=True)   # must not raise
+    assert np.all(np.isfinite(negf.P))
+    np.testing.assert_allclose(negf.P, P_fixed, rtol=0, atol=1e-12)
