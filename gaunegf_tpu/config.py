@@ -146,12 +146,15 @@ class ExecutionConfig:
     # energy (pure MXU matmuls) instead of a fresh LU factorization, with
     # a residual-gated batched-LU fallback (first point of each segment,
     # resonances, coarse grids).  Pays off on dense sorted sweeps where
-    # |dE| * ||S G|| << 1.  Values: False (off, default); True (all
-    # grids); "contour" -- grid-aware: ONLY the equilibrium contour scan
-    # of the fused density dispatches rides continuation (where round 1
-    # measured +43%) while real-axis segments keep the batched LU (where
-    # continuation loses near resonances).
-    continuation: object = False
+    # |dE| * ||S G|| << 1.  Values: False (off); True (all grids);
+    # "contour" (default) -- grid-aware: ONLY the equilibrium contour
+    # scan of the fused density dispatches rides continuation (round-1
+    # standalone contour A/B +43%; round-3 on-device NEGFE SCF cycle A/B
+    # at N=1000: 2.00 -> 1.18 s/cycle, dP 7.6e-8) while real-axis
+    # segments keep the batched LU (continuation loses near resonances).
+    # On x64/CPU the chain's exact-residual polish keeps the contour
+    # path within ~1e-10 of the batched-LU path.
+    continuation: object = "contour"
     # plain Newton-Schulz iterations per continuation step (0 = auto:
     # 2 for 'mixed' -- the double-float polish squares once more -- and
     # 3 for 'fast')

@@ -200,7 +200,7 @@ def test_density_eq_split_continuation_matches_plain(rng):
                            sig1=-0.1j)
     kw = dict(Eminf=-40.0, Emin=-4.0, mu=0.3, N1=64, N2=24)
     P0 = dens.density_eq_n(H, S, g, exec_cfg=ExecutionConfig(
-        energy_chunk=8), **kw)
+        energy_chunk=8, continuation=False), **kw)
     P1 = dens.density_eq_n(H, S, g, exec_cfg=ExecutionConfig(
         energy_chunk=8, continuation="contour"), **kw)
     # the chain polish runs on complex128 too (exact residual): ~1e-9
