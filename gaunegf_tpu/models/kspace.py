@@ -132,14 +132,21 @@ def kspace_sigma_down(E, H, Slist, Vlist, plane_ph, down_ph, eta=ETA,
 def kspace_sigma_surface(E, H, Slist, Vlist, plane_ph, down_ph, eta=ETA,
                          conv=SURFACE_GREEN_CONVERGENCE,
                          mix=SURFACE_BETHE_MIX,
-                         max_iter=SURFACE_MAX_ITER_BETHE):
+                         max_iter=SURFACE_MAX_ITER_BETHE, sig0=None):
     """Surface sigmas for a k-integrated contact atom: (sig_dirs, sig_down).
 
     sig_down is the exact BZ-averaged half-space term (no fixed point);
     the 6 in-plane directional sigmas re-relax around it with the Bethe
     Jacobi iteration (models/bethe.bethe_sigma_surface pattern), seeded
-    from zero.  Returns (sig_dirs (9, 9, 9) with the DOWN slots zeroed,
-    sig_down (9, 9)); the embedding's per-atom sigma is
+    from zero -- or from ``sig0`` (a previous energy's converged stack)
+    for warm-started sweeps.  Warm-seeding is restricted to THIS relaxed
+    Jacobi loop on purpose: seeding the per-k Sancho decimation with a
+    previous-energy g is the unsound pattern found for chain contacts
+    (spurious attracting fixed points near band features, BASELINE.md
+    round-3 notes), while the mix<1 Jacobi relaxation is the
+    basin-preserving Bethe warm path verified clean on a dense sweep.
+    Returns (sig_dirs (9, 9, 9) with the DOWN slots zeroed, sig_down
+    (9, 9)); the embedding's per-atom sigma is
     sig_down + sum(in-plane sig_dirs) - matched in-plane slots.
     """
     sig_down = kspace_sigma_down(E, H, Slist, Vlist, plane_ph, down_ph,
@@ -165,8 +172,13 @@ def kspace_sigma_surface(E, H, Slist, Vlist, plane_ph, down_ph, eta=ETA,
             jnp.max(jnp.abs(sig_old)), 1e-30)
         return (count + 1, diff, sig)
 
-    sig0 = zl._tie_vma(jnp.zeros((9, DIM, DIM), cdt), A)
-    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A)
+    if sig0 is None:
+        seed = jnp.zeros((9, DIM, DIM), cdt)
+    else:
+        seed = sig0.astype(cdt)
+    seed = zl._tie_vma(seed, A)
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A) \
+        + 0.0 * jnp.real(jnp.sum(seed))
     count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A)
-    _, _, sig = lax.while_loop(cond, body, (count0, diff0, sig0))
+    _, _, sig = lax.while_loop(cond, body, (count0, diff0, seed))
     return sig, sig_down

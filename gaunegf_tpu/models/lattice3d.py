@@ -133,6 +133,58 @@ def _kspace_total_fn(static_key, Xi_h):
     return fn
 
 
+def _kspace_warm_parts(static_key, Xi_h, i, params, E, st):
+    """One warm contact evaluation: (embedded sigma (N, N), state').
+
+    The carried state is the converged in-plane Jacobi stack (9, 9, 9);
+    the per-k Sancho half-space term is re-solved cold each energy (see
+    kspace.kspace_sigma_surface for why only the relaxation is seeded)."""
+    from gaunegf_tpu.models.bethe import _bethe_embed_fn
+    from gaunegf_tpu.models.kspace import DOWN_DIRS, kspace_sigma_surface
+
+    p = params["contacts"][i]
+    sig_dirs, sig_down = kspace_sigma_surface(
+        E, p["H"], p["S"], p["V"], p["plane_ph"], p["down_ph"], p["eta"],
+        sig0=st)
+    emb = _bethe_embed_fn(static_key, Xi_h, i)(
+        sig_dirs.at[DOWN_DIRS[0]].set(sig_down))
+    return emb, sig_dirs
+
+
+@lru_cache(maxsize=None)
+def _kspace_contacts_warm_fn(static_key, Xi_h):
+    """fn(params, E, state) -> (sigs_tuple, state'): ONE k-integrated
+    surface solve per contact per energy, shared across the engine's
+    sigma_tot/Gamma requests (the cold path re-solves per request)."""
+    n_contacts = len(static_key[0])
+
+    def fn(params, E, state):
+        sigs, new_state = [], []
+        for i in range(n_contacts):
+            emb, st = _kspace_warm_parts(static_key, Xi_h, i, params, E,
+                                         state[i])
+            sigs.append(emb)
+            new_state.append(st)
+        return tuple(sigs), tuple(new_state)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _kspace_total_warm_fn(static_key, Xi_h):
+    """fn(params, E, state) -> (Sigma_total, state') (warm sum engines)."""
+    contacts_fn = _kspace_contacts_warm_fn(static_key, Xi_h)
+
+    def fn(params, E, state):
+        sigs, new_state = contacts_fn(params, E, state)
+        tot = sigs[0]
+        for s in sigs[1:]:
+            tot = tot + s
+        return tot, new_state
+
+    return fn
+
+
 class Lattice3DSelfEnergy(BetheSelfEnergy):
     """Surface self-energy for an explicit 3D-lattice contact plane.
 
@@ -140,8 +192,10 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
     half-space uses the Bethe-lattice fixed point (surfG3D's actual
     behaviour).  gamma_point_only=False: the crystal half-space is
     BZ-integrated on an nk x nk Monkhorst-Pack grid (beyond the
-    reference; warm-started engines are not yet wired for this mode, so
-    sweeps run the standard cold path).
+    reference).  Both modes support the warm-started engine family; in
+    k-space mode only the in-plane Jacobi relaxation carries across
+    energies (the per-k decimation re-solves cold -- see
+    kspace.kspace_sigma_surface).
     """
 
     _detector = staticmethod(_detect_contact_3d)
@@ -158,10 +212,6 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
             from gaunegf_tpu.models.kspace import kspace_phases
             self._phases = [kspace_phases(nv, self.nk)
                             for nv in self.dir_lists]
-            # the warm-started engine family is Bethe-specific; disable so
-            # EnergyEngine falls back to the standard per-energy path
-            self.contacts_warm_apply = None
-            self.total_apply_warm = None
 
     def params(self):
         base = super().params()
@@ -187,3 +237,26 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
         i = i % len(self.g_list)
         return _kspace_contact_fn(self._static_key(),
                                   _HashableArray(self.Xi), i), self.params()
+
+    # warm-started sweeps (k-space mode): carry the in-plane Jacobi stack
+    # across energies; zero seed == the cold path's first iteration
+    def _warm_init(self):
+        if not self.kspace:
+            return super()._warm_init()
+        from gaunegf_tpu.models.bethe import DIM as _D
+        return tuple(np.zeros((9, _D, _D), dtype=np.complex64)
+                     for _ in self.g_list)
+
+    def total_apply_warm(self):
+        if not self.kspace:
+            return super().total_apply_warm()
+        return (_kspace_total_warm_fn(self._static_key(),
+                                      _HashableArray(self.Xi)),
+                self.params(), self._warm_init())
+
+    def contacts_warm_apply(self):
+        if not self.kspace:
+            return super().contacts_warm_apply()
+        return (_kspace_contacts_warm_fn(self._static_key(),
+                                         _HashableArray(self.Xi)),
+                self.params(), self._warm_init())
