@@ -122,7 +122,13 @@ class ExecutionConfig:
     #   A/B to 'split' but compiles ~4x faster); 'fused3': the fused
     #   kernel with manual bf16-split dots (half the MXU passes; factor
     #   quality ~1e-4 -- pair with 'mixed', whose Newton polish is
-    #   residual-floor- not seed-limited); 'pallas': the round-1
+    #   residual-floor- not seed-limited); 'pstrip': the scan panel with
+    #   each 32-column strip eliminated by ONE Pallas program (VPU-only
+    #   in-kernel loop, deferred updates stay in XLA).  Device-correct
+    #   but a perf wash: the round-3 profile showed the strip loops cost
+    #   only ~42 ms of N=2000's 594 ms while bucket (and the tri-inv fori
+    #   base cases were ruled out the same way -- see zlinalg
+    #   _tri_inv_lower_unit).  Kept opt-in.  'pallas': the round-1
     #   masked-select kernel (experimental).  All produce the identical
     #   partial-pivot sequence (up to near-tie pivots in 'fused3').
     lu_panel: str = "auto"   # auto: 'scan' below N=1536, 'split' above

@@ -98,7 +98,16 @@ def supports_lapack_complex() -> bool:
 
 def _tri_inv_lower_unit(L):
     """Inverse of a unit-lower-triangular (..., n, n) block, forward subst.
-    Row-at-a-time; used only at the _TRI_BASE size (vmapped over blocks)."""
+
+    Row-at-a-time; used only at the _TRI_BASE size (vmapped over blocks).
+    A loop-free Neumann-doubling variant (inv(T) = sum (I-T)^i via
+    log-doubling products) was built and A/B'd on device round 3: the
+    'while' profile bucket barely moved (640 -> 587 ms at N=2000 mixed,
+    so these base cases were never the loop cost) AND the intermediate
+    powers OVERFLOW f32 for ill-conditioned blocks (a 1e-6 pivot sends
+    (I-W)^(2^k) entries past 3e38 -> all-NaN device results at
+    near-resonance energies, reproduced on CPU f32).  Substitution keeps
+    every intermediate at ~|inv| magnitude; do not revisit."""
     n = L.shape[-1]
     rows = jnp.arange(n)
 
@@ -113,7 +122,9 @@ def _tri_inv_lower_unit(L):
 
 
 def _tri_inv_upper(U):
-    """Inverse of an upper-triangular (..., n, n) block, back substitution."""
+    """Inverse of an upper-triangular (..., n, n) block, back substitution.
+
+    See _tri_inv_lower_unit for why this stays a substitution loop."""
     n = U.shape[-1]
     rows = jnp.arange(n)
 
@@ -172,15 +183,17 @@ def _stack_diag(X, s):
 
 
 def _scatter_diag(X, Xd, s):
+    """Add the stacked blocks Xd onto X's (s x s) block diagonal.
+
+    Loop-free one-hot broadcast (the fori `.at[].set` version showed up
+    in the round-3 N=2000 profile's while bucket).  Contract: callers
+    pass X with ZERO diagonal blocks (the only call site passes zeros),
+    so add == set."""
     n = X.shape[-1]
     k = n // s
-    Xr = X.reshape(X.shape[:-2] + (k, s, k, s))
-
-    def put(i, o):
-        return o.at[..., i, :, i, :].set(Xd[..., i, :, :])
-
-    Xr = lax.fori_loop(0, k, put, Xr)
-    return Xr.reshape(X.shape)
+    eye = jnp.eye(k, dtype=X.dtype)
+    term = Xd[..., :, :, None, :] * eye[:, None, :, None]   # (...,k,s,k,s)
+    return X + term.reshape(X.shape)
 
 
 def _stack_diag_pairs_off(X, s, lower: bool):
@@ -201,17 +214,24 @@ def _stack_diag_pairs_off(X, s, lower: bool):
 
 
 def _scatter_pairs_off(X, Xoff, s, lower: bool):
+    """Add Xoff[i] into the off-diagonal (s x s) block of each (2s x 2s)
+    diagonal pair: position (2i+1, 2i) for lower, (2i, 2i+1) for upper.
+
+    Loop-free: place each block at its intra-pair position with a static
+    update, then broadcast onto the pair diagonal with a one-hot factor.
+    Contract: the target blocks of X are zero at this point of the
+    doubling recursion (X holds only finer-level diagonal structure), so
+    add == set."""
     n = X.shape[-1]
-    k = n // s
-    Xr = X.reshape(X.shape[:-2] + (k, s, k, s))
-
-    def put(i, o):
-        r = 2 * i + 1 if lower else 2 * i
-        c = 2 * i if lower else 2 * i + 1
-        return o.at[..., r, :, c, :].set(Xoff[..., i, :, :])
-
-    Xr = lax.fori_loop(0, k // 2, put, Xr)
-    return Xr.reshape(X.shape)
+    k2 = (n // s) // 2
+    Xr = X.reshape(X.shape[:-2] + (k2, 2, s, k2, 2, s))
+    pairblk = jnp.zeros(X.shape[:-2] + (k2, 2, s, 2, s), X.dtype)
+    r2, c2 = (1, 0) if lower else (0, 1)
+    pairblk = pairblk.at[..., :, r2, :, c2, :].set(Xoff)   # static indices
+    eye = jnp.eye(k2, dtype=X.dtype)
+    term = (pairblk[..., :, :, :, None, :, :]
+            * eye[:, None, None, :, None, None])
+    return (Xr + term).reshape(X.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +400,8 @@ def _cinv_unit_upper(U):
     return X
 
 
-def _factor_panel_scan(panel, base: int = PANEL_SPLIT_BASE):
+def _factor_panel_scan(panel, base: int = PANEL_SPLIT_BASE,
+                       strip_impl: str = "xla"):
     """Strip-scanned panel factorization: ONE lax.scan body in the graph.
 
     Same algorithm as the fused Pallas kernel (virtual pivoting on the
@@ -393,6 +414,12 @@ def _factor_panel_scan(panel, base: int = PANEL_SPLIT_BASE):
     cold compiles take minutes (VERDICT r2 item 2).  Pivot sequence
     matches partial pivoting exactly; extra flops vs 'split' are the
     masked full-width deferred updates (~3% of a solve's total).
+
+    strip_impl='pallas' replaces the inner elimination fori_loop with ONE
+    Pallas program per strip (ops/pallas/strip_elim.py): the round-3
+    profile put 53% of N=2000 device time in per-iteration while-loop
+    overhead, which the in-kernel VMEM-resident loop removes.  No MXU
+    work moves into the kernel -- the deferred updates stay here in XLA.
     """
     m, bs = panel.shape
     ns = bs // base
@@ -422,13 +449,21 @@ def _factor_panel_scan(panel, base: int = PANEL_SPLIT_BASE):
         piv32 = piv32.at[j].set(p.astype(jnp.int32))
         return sb, avail, piv32
 
+    if strip_impl == "pallas":
+        import jax as _jax
+        from gaunegf_tpu.ops.pallas.strip_elim import eliminate_strip
+        _interp = _jax.default_backend() == "cpu"
+
     def strip(carry, s):
         pt, avail, pivrows = carry
         s0 = s * base
         sb = lax.dynamic_slice(pt, (s0, 0 * s), (base, m))
-        sb, avail, piv32 = lax.fori_loop(
-            0, base, eliminate,
-            (sb, avail, _tie_vma(jnp.zeros((base,), jnp.int32), pt)))
+        if strip_impl == "pallas":
+            sb, piv32, avail = eliminate_strip(sb, avail, interpret=_interp)
+        else:
+            sb, avail, piv32 = lax.fori_loop(
+                0, base, eliminate,
+                (sb, avail, _tie_vma(jnp.zeros((base,), jnp.int32), pt)))
         pt = lax.dynamic_update_slice(pt, sb, (s0, 0 * s))
         pivrows = lax.dynamic_update_slice(pivrows, piv32, (s0,))
 
@@ -552,6 +587,8 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
             panel, perm = _factor_panel_split(panel)
         elif panel_impl == "scan":
             panel, perm = _factor_panel_scan(panel)
+        elif panel_impl == "pstrip":
+            panel, perm = _factor_panel_scan(panel, strip_impl="pallas")
         else:
             perm0 = jnp.arange(m, dtype=jnp.int32)
             panel, perm = _factor_panel(panel, perm0)
@@ -603,6 +640,8 @@ def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
             panel, perm = _factor_panel_split(panel)
         elif panel_impl == "scan":
             panel, perm = _factor_panel_scan(panel)
+        elif panel_impl == "pstrip":
+            panel, perm = _factor_panel_scan(panel, strip_impl="pallas")
         elif panel_impl == "fused":
             from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
             panel, perm = factor_panel_fused(panel)
@@ -1277,6 +1316,8 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
             packed_l, perm_l = _factor_panel_split(pan)
         elif panel_impl == "scan":
             packed_l, perm_l = _factor_panel_scan(pan)
+        elif panel_impl == "pstrip":
+            packed_l, perm_l = _factor_panel_scan(pan, strip_impl="pallas")
         else:
             raise ValueError(
                 f"zsolve_dist supports panel_impl 'split'/'virtual'/"

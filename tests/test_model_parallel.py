@@ -17,6 +17,20 @@ from gaunegf_tpu.ops.greens import EnergyEngine
 from gaunegf_tpu.parallel.mesh import energy_mesh, MODEL_AXIS, ENERGY_AXIS
 
 
+def _transmission_truth(H, S, g, E):
+    """x64 dense NumPy T(E) = Tr[G1 Gr G2 Ga] (contacts 0 and -1)."""
+    out = []
+    for e in np.asarray(E, dtype=np.complex128):
+        s1 = np.asarray(g.sigma(e, 0), dtype=np.complex128)
+        s2 = np.asarray(g.sigma(e, -1), dtype=np.complex128)
+        st = np.asarray(g.sigmaTot(e), dtype=np.complex128)
+        Gr = np.linalg.inv(e * S - H - st)
+        G1 = 1j * (s1 - s1.conj().T)
+        G2 = 1j * (s2 - s2.conj().T)
+        out.append(np.trace(G1 @ Gr @ G2 @ Gr.conj().T).real)
+    return np.asarray(out)
+
+
 def _system(N, rng):
     H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1)) \
         + np.diag(0.2 * rng.standard_normal(N))
@@ -163,6 +177,10 @@ def test_gless_sum_model_sharded_uneven_contact(rng):
 
 @pytest.mark.parametrize("lowrank", [True, False])
 def test_transmission_model_sharded_matches_serial(rng, lowrank):
+    """atol 1e-7, not 1e-9: the m-sharded solve column-blocks the
+    refinement matmuls, which round differently from the serial full-width
+    ones (~1e-8 observed with the Neumann tri-inverses) -- far below the
+    mixed tier's ~2e-6 accuracy floor, which the truth check pins."""
     N = 64
     H, S, g = _system(N, rng)
     E = np.linspace(-2, 2, 16)
@@ -171,7 +189,9 @@ def test_transmission_model_sharded_matches_serial(rng, lowrank):
     serial = EnergyEngine(H, S, g, cfg, mesh=None).transmission(E)
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).transmission(E)
-    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(sharded, _transmission_truth(H, S, g, E),
+                               rtol=0, atol=5e-6)
 
 
 @pytest.mark.parametrize("precision,atol", [("high", 5e-7), ("exact", 1e-9)])

@@ -36,3 +36,34 @@ def test_pallas_panel_batched(rng):
         assert np.array_equal(np.asarray(got_perm[b]), np.asarray(ref_perm))
         assert np.max(np.abs(np.asarray(got_panel[b])
                              - np.asarray(ref_panel))) < 1e-5
+
+
+# --- strip-elimination kernel (lu_panel='pstrip') -------------------------
+
+@pytest.mark.skipif(not panel_lu.HAVE_PALLAS, reason="pallas unavailable")
+def test_pstrip_panel_matches_virtual(rng):
+    """_factor_panel_scan(strip_impl='pallas'): identical pivot sequence
+    to the virtual-pivot panel, values to f32 rounding."""
+    for m, bs in [(96, 64), (200, 64), (256, 128)]:
+        A = (rng.standard_normal((m, bs))
+             + 1j * rng.standard_normal((m, bs))).astype(np.complex64)
+        p0, perm0 = zl._factor_panel_virtual(jnp.asarray(A))
+        p1, perm1 = zl._factor_panel_scan(jnp.asarray(A),
+                                          strip_impl="pallas")
+        assert np.array_equal(np.asarray(perm0), np.asarray(perm1)), (m, bs)
+        scale = np.max(np.abs(np.asarray(p0)))
+        assert np.max(np.abs(np.asarray(p0 - p1))) < 1e-3 * scale, (m, bs)
+
+
+@pytest.mark.skipif(not panel_lu.HAVE_PALLAS, reason="pallas unavailable")
+def test_pstrip_solve_matches_lapack(rng):
+    N = 192
+    A = (rng.standard_normal((2, N, N))
+         + 1j * rng.standard_normal((2, N, N))).astype(np.complex64)
+    B = np.broadcast_to(np.eye(N, dtype=np.complex64), (2, N, N))
+    X1 = zl.zsolve(jnp.asarray(A), jnp.asarray(B), method="blocked",
+                   bs=64, panel_impl="pstrip")
+    Xl = zl.zsolve(jnp.asarray(A), jnp.asarray(B), method="lapack")
+    rel = float(np.max(np.abs(np.asarray(X1 - Xl)))
+                / np.max(np.abs(np.asarray(Xl))))
+    assert rel < 1e-3, rel
