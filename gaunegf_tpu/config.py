@@ -128,7 +128,10 @@ class ExecutionConfig:
     #   but a perf wash: the round-3 profile showed the strip loops cost
     #   only ~42 ms of N=2000's 594 ms while bucket (and the tri-inv fori
     #   base cases were ruled out the same way -- see zlinalg
-    #   _tri_inv_lower_unit).  Kept opt-in.  'pallas': the round-1
+    #   _tri_inv_lower_unit).  Kept opt-in.  'psplit': the split
+    #   recursion with each base strip eliminated by the same Pallas
+    #   program (hierarchical matmul inter-strip updates + VMEM strip
+    #   elimination; lanes bucket-padded to 256s).  'pallas': the round-1
     #   masked-select kernel (experimental).  All produce the identical
     #   partial-pivot sequence (up to near-tie pivots in 'fused3').
     lu_panel: str = "auto"   # auto: 'scan' below N=1536, 'split' above

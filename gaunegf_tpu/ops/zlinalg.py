@@ -352,9 +352,45 @@ def _factor_panel_virtual(panel, unroll: int = PANEL_UNROLL):
 PANEL_SPLIT_BASE = int(os.environ.get("GAUNEGF_PANEL_BASE", "32"))
 # sub-panel width at which the recursive split bottoms out
 
+_PSTRIP_M_BUCKET = 256
+# lane-count rounding for the Pallas strip base case: caps the number of
+# distinct (strip, m) kernel shapes Mosaic must compile at N/256 instead
+# of one per recursion leaf (the padded lanes are masked out via avail)
+
+
+def _factor_panel_base_pallas(panel):
+    """Pallas strip base case for the split recursion.
+
+    Same contract and pivot sequence as _factor_panel_virtual: the whole
+    (m, bs<=32ish) strip is eliminated by ONE VPU-only Pallas program
+    (ops/pallas/strip_elim.py) instead of bs XLA fori iterations -- the
+    round-3 profile showed the split solve's 'while' bucket is dominated
+    by per-iteration sequencing of exactly these rank-1 steps.  Lanes are
+    padded to _PSTRIP_M_BUCKET multiples (masked via avail) so the
+    recursion's shrinking leaf shapes reuse a few kernel specializations.
+    """
+    import jax as _jax
+    from gaunegf_tpu.ops.pallas.strip_elim import eliminate_strip
+    m, bs = panel.shape
+    mp = max(_PSTRIP_M_BUCKET, -(-m // _PSTRIP_M_BUCKET) * _PSTRIP_M_BUCKET)
+    pt = panel.T
+    if mp != m:
+        pt = jnp.pad(pt, ((0, 0), (0, mp - m)))
+    avail = _tie_vma(jnp.arange(mp) < m, pt)
+    sb, pivrows, avail = eliminate_strip(
+        pt, avail, interpret=_jax.default_backend() == "cpu")
+    rest = jnp.where(avail[:m], size=m - bs)[0].astype(jnp.int32) \
+        if m > bs else jnp.zeros((0,), jnp.int32)
+    perm = jnp.concatenate([pivrows, rest])
+    # gather lanes before transposing (transpose-of-gather tickled an XLA
+    # CPU RET_CHECK in the transpose-folding pass under vmap+interpret)
+    packed = sb[:, perm].T.astype(panel.dtype)
+    return packed, perm
+
 
 def _factor_panel_split(panel, unroll: int = PANEL_UNROLL,
-                        base: int = PANEL_SPLIT_BASE):
+                        base: int = PANEL_SPLIT_BASE,
+                        strip_impl: str = "xla"):
     """Recursively split panel factorization: rank-1 work on narrow strips.
 
     The sequential elimination loop's VPU/bandwidth cost is proportional
@@ -364,18 +400,21 @@ def _factor_panel_split(panel, unroll: int = PANEL_UNROLL,
     ``base``-wide virtual-pivot strips, cutting the per-elimination touch
     from bs columns to ``base`` while the deferred inter-strip updates run
     as matmuls.  Same contract as _factor_panel: (packed rows in pivoted
-    order, perm).
+    order, perm).  strip_impl='pallas' (lu_panel='psplit') runs each base
+    strip as one Pallas program instead of a fori loop.
     """
     m, bs = panel.shape
     if bs <= base or bs % 2 or (bs // 2) % _TRI_BASE:
+        if strip_impl == "pallas":
+            return _factor_panel_base_pallas(panel)
         return _factor_panel_virtual(panel, unroll)
     h = bs // 2
-    left, permL = _factor_panel_split(panel[:, :h], unroll, base)
+    left, permL = _factor_panel_split(panel[:, :h], unroll, base, strip_impl)
     right = panel[:, h:][permL, :]                 # pivots as one gather
     L11 = jnp.tril(left[:h, :], -1) + jnp.eye(h, dtype=panel.dtype)
     U12 = _mm(_tri_inv_fast(L11, lower=True, unit=True), right[:h, :])
     low = right[h:, :] - _mm(left[h:, :], U12)     # deferred block update
-    br, permR = _factor_panel_split(low, unroll, base)
+    br, permR = _factor_panel_split(low, unroll, base, strip_impl)
     idx = jnp.concatenate(
         [_tie_vma(jnp.arange(h, dtype=permR.dtype), panel), h + permR])
     packed = jnp.concatenate(
@@ -589,6 +628,8 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
             panel, perm = _factor_panel_scan(panel)
         elif panel_impl == "pstrip":
             panel, perm = _factor_panel_scan(panel, strip_impl="pallas")
+        elif panel_impl == "psplit":
+            panel, perm = _factor_panel_split(panel, strip_impl="pallas")
         else:
             perm0 = jnp.arange(m, dtype=jnp.int32)
             panel, perm = _factor_panel(panel, perm0)
@@ -642,6 +683,8 @@ def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
             panel, perm = _factor_panel_scan(panel)
         elif panel_impl == "pstrip":
             panel, perm = _factor_panel_scan(panel, strip_impl="pallas")
+        elif panel_impl == "psplit":
+            panel, perm = _factor_panel_split(panel, strip_impl="pallas")
         elif panel_impl == "fused":
             from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
             panel, perm = factor_panel_fused(panel)
@@ -1318,6 +1361,8 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
             packed_l, perm_l = _factor_panel_scan(pan)
         elif panel_impl == "pstrip":
             packed_l, perm_l = _factor_panel_scan(pan, strip_impl="pallas")
+        elif panel_impl == "psplit":
+            packed_l, perm_l = _factor_panel_split(pan, strip_impl="pallas")
         else:
             raise ValueError(
                 f"zsolve_dist supports panel_impl 'split'/'virtual'/"
