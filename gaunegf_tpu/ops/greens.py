@@ -1533,6 +1533,27 @@ class EnergyEngine:
                                   self.cdtype)
             self.S_s = split_tree(np.asarray(S, dtype=self.cdtype),
                                   self.cdtype)
+        # Device-resident operands: numpy jit arguments are RE-UPLOADED on
+        # every dispatch -- through the axon tunnel the N^2 H/S pairs cost
+        # ~2.7 s/call at N=2000 (measured: 19.1 -> 32.0 pts/s from this
+        # device_put alone, results bit-identical).  H/S are copied into
+        # the split trees at construction, so residency is safe even if
+        # the caller later mutates its H.
+        self.H_s = self._put_replicated(self.H_s)
+        self.S_s = self._put_replicated(self.S_s)
+        self._params_dev = {}          # content digest -> device split tree
+
+    def _put_replicated(self, tree):
+        """device_put a host pytree (replicated over the mesh if any);
+        falls back to host arrays if placement fails (e.g. exotic
+        multi-host configurations)."""
+        try:
+            if self.mesh is None:
+                return jax.device_put(tree)
+            from jax.sharding import NamedSharding
+            return jax.device_put(tree, NamedSharding(self.mesh, P()))
+        except Exception:
+            return tree
 
     def _dw_split(self, x):
         """Exact two-float decomposition of an f64 array, each half as a
@@ -1553,7 +1574,33 @@ class EnergyEngine:
         return E_s, w_s, n
 
     def _params_split(self, params):
-        return split_tree(params, self.cdtype)
+        """Split params and keep them device-resident across dispatches.
+
+        Provider params are host NumPy pytrees that can be N^2-sized
+        (e.g. ConstantSelfEnergy's stacked sigmas) -- re-uploading them
+        every call costs seconds through the tunnel.  They are cached by
+        CONTENT digest (blake2b), not object identity: providers like
+        Chain1DSelfEnergy.setF mutate their arrays in place, so identity
+        keying would serve stale physics.  The digest costs ~1 ms per
+        16 MB -- noise against the upload it avoids."""
+        import hashlib
+        import jax.tree_util as jtu
+        leaves, treedef = jtu.tree_flatten(params)
+        h = hashlib.blake2b(digest_size=16)
+        meta = []
+        for leaf in leaves:
+            a = np.ascontiguousarray(np.asarray(leaf))
+            meta.append((a.shape, a.dtype.str))
+            h.update(a.tobytes())
+        key = (treedef, tuple(meta), h.hexdigest())
+        hit = self._params_dev.get(key)
+        if hit is not None:
+            return hit
+        dev = self._put_replicated(split_tree(params, self.cdtype))
+        if len(self._params_dev) >= 4:     # bound memory: SCF alternates
+            self._params_dev.pop(next(iter(self._params_dev)))
+        self._params_dev[key] = dev
+        return dev
 
     def _log_dispatch(self, kind, n_energies):
         from gaunegf_tpu.utils.logging import get_logger

@@ -145,3 +145,35 @@ def test_continuation_engine_matches_standard():
         H, S, g, ExecutionConfig(energy_chunk=8, continuation=True),
         mesh=energy_mesh()).gr_sum(E, w)
     assert np.abs(chn8 - chn).max() / np.abs(chn).max() < 1e-12
+
+
+def test_params_cache_sees_inplace_mutation(rng):
+    """The device-resident params cache keys on CONTENT, not identity:
+    a provider that mutates its param arrays IN PLACE (the
+    Chain1DSelfEnergy.setF pattern) must get fresh physics on the next
+    dispatch, and an unchanged provider must hit the cache."""
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    n = 40
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(n - 4, n)],
+                           sig1=-0.05j)
+    E = np.linspace(-2, 2, 16) + 0.05j
+    w = np.ones(16)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=4))
+    out1 = eng.gr_sum(E, w)
+    assert len(eng._params_dev) == 1
+    out1b = eng.gr_sum(E, w)
+    assert len(eng._params_dev) == 1          # unchanged params: cache hit
+    np.testing.assert_array_equal(out1, out1b)
+
+    g._sigs *= 2.0                            # in-place mutation
+    out2 = eng.gr_sum(E, w)
+    assert len(eng._params_dev) == 2          # new digest: re-uploaded
+    fresh = EnergyEngine(H, S, ConstantSelfEnergy(
+        H, S, [np.arange(4), np.arange(n - 4, n)], sig1=-0.1j),
+        ExecutionConfig(energy_chunk=4)).gr_sum(E, w)
+    # atol 1e-6, not exact: doubling _sigs also doubles form_sigma's
+    # -1j*1e-9*S background, which the fresh sig1=-0.1j provider has once
+    np.testing.assert_allclose(out2, fresh, rtol=0, atol=1e-6)
+    assert np.max(np.abs(out2 - out1)) > 1e-6
