@@ -155,12 +155,15 @@ def main():
     anchor_mm = _measure_anchor_matmul()
     anchor_solve = _measure_anchor_solve(EnergyEngine, ExecutionConfig,
                                          system)
-    ratios = []
-    if ANCHOR_REF_MATMUL_GFLOPS:
-        ratios.append(anchor_mm / ANCHOR_REF_MATMUL_GFLOPS)
-    if ANCHOR_REF_SOLVE_PTS:
-        ratios.append(anchor_solve / ANCHOR_REF_SOLVE_PTS)
-    anchor_ratio = float(np.mean(ratios)) if ratios else 1.0
+    # Normalize by the MATMUL anchor only: it is code-independent (raw
+    # jnp.matmul), so its ratio isolates session/tunnel variance.  The
+    # solve anchor goes through EnergyEngine and therefore moves with
+    # genuine code improvements (round 3: device-resident operands lifted
+    # it 458 -> 629 pts/s on a session whose matmul anchor was 0.80x) --
+    # averaging it in would divide real gains away.  It stays reported as
+    # a solve-path regression probe.
+    anchor_ratio = (anchor_mm / ANCHOR_REF_MATMUL_GFLOPS
+                    if ANCHOR_REF_MATMUL_GFLOPS else 1.0)
 
     print(json.dumps({
         "metric": "energy points/sec, 1000-orbital G(E) solves (mixed precision)",
