@@ -114,7 +114,7 @@ def _kspace_contact_fn(static_key, Xi_h, i: int):
         p = params["contacts"][i]
         sig_dirs, sig_down = kspace_sigma_surface(
             E, p["H"], p["S"], p["V"], p["plane_ph"], p["down_ph"],
-            p["eta"])
+            p["eta"], sym_mask=p.get("sym_mask"), sym_D=p.get("sym_D"))
         return embed(sig_dirs.at[DOWN_DIRS[0]].set(sig_down))
 
     return fn
@@ -145,7 +145,7 @@ def _kspace_warm_parts(static_key, Xi_h, i, params, E, st):
     p = params["contacts"][i]
     sig_dirs, sig_down = kspace_sigma_surface(
         E, p["H"], p["S"], p["V"], p["plane_ph"], p["down_ph"], p["eta"],
-        sig0=st)
+        sig0=st, sym_mask=p.get("sym_mask"), sym_D=p.get("sym_D"))
     emb = _bethe_embed_fn(static_key, Xi_h, i)(
         sig_dirs.at[DOWN_DIRS[0]].set(sig_down))
     return emb, sig_dirs
@@ -203,25 +203,41 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
     def __init__(self, F, S, contacts, geometry: BetheGeometry,
                  lat_file: str = "Au", spin: str = "r", eta: float = ETA,
                  T: float = TEMPERATURE, gamma_point_only: bool = True,
-                 nk: int = 4, **kw):
+                 nk: int = 4, bz_symmetry: bool = True, **kw):
         super().__init__(F, S, contacts, geometry, lat_file, spin, eta, T,
                          **kw)
         self.kspace = not gamma_point_only
         self.nk = int(nk)
         if self.kspace:
-            from gaunegf_tpu.models.kspace import kspace_phases
-            self._phases = [kspace_phases(nv, self.nk)
-                            for nv in self.dir_lists]
+            # bz_symmetry: fold the surface BZ by the plane's validated
+            # little group (C3v for fcc(111): ~3-6x fewer decimations,
+            # exact -- kspace.bz_reduce).  Falls back to the full
+            # Monkhorst-Pack grid when no reduction validates.
+            from gaunegf_tpu.models.kspace import (
+                bz_reduce, kspace_phases, phases_for_frac)
+            self._phases, self._syms = [], []
+            for nv in self.dir_lists:
+                red = bz_reduce(nv, self.nk) if bz_symmetry else None
+                if red is None:
+                    self._phases.append(kspace_phases(nv, self.nk))
+                    self._syms.append(None)
+                else:
+                    frac_reps, mask, D, _ = red
+                    self._phases.append(phases_for_frac(nv, frac_reps))
+                    self._syms.append((mask, D))
 
     def params(self):
         base = super().params()
         if not self.kspace:
             return base
         contacts = []
-        for p, (plane_ph, down_ph) in zip(base["contacts"], self._phases):
+        for p, (plane_ph, down_ph), sym in zip(base["contacts"],
+                                               self._phases, self._syms):
             q = dict(p)
             q["plane_ph"] = plane_ph.astype(np.complex128)
             q["down_ph"] = down_ph.astype(np.complex128)
+            if sym is not None:
+                q["sym_mask"], q["sym_D"] = sym
             contacts.append(q)
         return {"contacts": tuple(contacts)}
 

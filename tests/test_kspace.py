@@ -95,3 +95,57 @@ def test_surface_sigma_structure():
         assert np.abs(sig_dirs[d]).max() == 0.0
     for d in PLANE_DIRS:                        # in-plane slots populated
         assert np.abs(sig_dirs[d]).max() > 1e-8
+
+
+# --- BZ symmetry reduction (C3v little group) -----------------------------
+
+def test_orbital_rep_matches_project_convention():
+    """_orbital_rep reproduces rotation_matrix's 9x9 blocks for proper
+    z->direction rotations (the convention anchor) and is orthogonal for
+    mirrors too."""
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        tr = sk.rotation_matrix(d)
+        D = ks._orbital_rep(tr[1:4, 1:4])
+        assert np.max(np.abs(D - tr)) < 1e-10
+    m = np.eye(3) - 2 * np.outer([1.0, 0, 0], [1.0, 0, 0])   # x-mirror
+    Dm = ks._orbital_rep(m)
+    assert np.max(np.abs(Dm @ Dm.T - np.eye(9))) < 1e-12
+
+
+def test_little_group_is_c3v():
+    _, n_vecs, _, _ = _au()
+    ops = ks.little_group(n_vecs)
+    assert len(ops) == 6          # E, 2 C3, 3 mirrors (ABC stacking
+    # breaks the in-plane C6 down to C3v)
+    dets = sorted(round(float(np.linalg.det(R))) for R in ops)
+    assert dets == [-1, -1, -1, 1, 1, 1]
+
+
+def test_bz_reduction_exact():
+    """Reduced-grid symmetrized sigma_down == full Gamma-centred grid
+    sigma_down, with ~3.6x fewer decimations at nk=6."""
+    p, n_vecs, Slist, Vlist = _au()
+    H = p.h0()
+    nk = 6
+    red = ks.bz_reduce(n_vecs, nk)
+    assert red is not None
+    frac_reps, mask, D, nk_full = red
+    assert nk_full == nk * nk
+    assert int(mask.sum()) == nk * nk             # every point once
+    assert len(frac_reps) <= 12                   # 36 -> 10 at nk=6
+
+    ii, jj = np.meshgrid(np.arange(nk), np.arange(nk), indexing="ij")
+    frac_full = np.stack([ii.ravel() / nk, jj.ravel() / nk], axis=1)
+    frac_full = (frac_full + 0.5) % 1.0 - 0.5
+    for E in [-5.0, 1.0]:
+        ph_f = ks.phases_for_frac(n_vecs, frac_full)
+        full = np.asarray(ks.kspace_sigma_down(E, H, Slist, Vlist, *ph_f))
+        ph_r = ks.phases_for_frac(n_vecs, frac_reps)
+        red_s = np.asarray(ks.kspace_sigma_down(
+            E, H, Slist, Vlist, *ph_r, sym_mask=mask, sym_D=D,
+            nk_full=nk_full))
+        err = np.max(np.abs(red_s - full)) / np.max(np.abs(full))
+        assert err < 1e-6, err    # f32-path tolerance; x64 reaches 1e-13

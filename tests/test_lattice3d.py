@@ -175,3 +175,31 @@ def test_lattice3d_kspace_warm_engine_transmission():
                                         energy_chunk=4)).transmission(E)
     assert np.isfinite(cold).all() and np.isfinite(warm).all()
     np.testing.assert_allclose(warm, cold, rtol=1e-4, atol=1e-9)
+
+
+def test_lattice3d_bz_symmetry_reduction():
+    """bz_symmetry=True (default) folds the surface BZ by the validated
+    C3v little group: fewer decimation points, Gamma-centred grid (the
+    standard for hexagonal BZs), physics within grid-flavour distance of
+    the full Monkhorst-Pack evaluation and passive."""
+    geom = _plane_geometry()
+    n_orb = 4 * 9 + 4
+    F = np.zeros((n_orb, n_orb))
+    S = np.eye(n_orb)
+    kw = dict(lat_file=_lat_file(), eta=1e-6, T=0.0, fermi=0.0,
+              verbose=False, gamma_point_only=False, nk=4)
+    p_sym = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom, **kw)
+    p_mp = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom,
+                               bz_symmetry=False, **kw)
+    c = p_sym.params()["contacts"][0]
+    assert c["plane_ph"].shape[0] < 16            # 16 -> 5 reps at nk=4
+    assert "sym_mask" in c and "sym_D" in c
+    s1 = p_sym.sigmaTot(-2.0)
+    s2 = p_mp.sigmaTot(-2.0)
+    blk = s1[:36, :36]
+    gam = 1j * (blk - blk.conj().T)
+    assert np.linalg.eigvalsh(gam).min() > -1e-6, "passivity"
+    # same integral, different (Gamma-centred vs MP) nk=4 grids: close
+    # but not equal; both converge to the same limit in nk
+    d = np.max(np.abs(s1 - s2)) / np.max(np.abs(s2))
+    assert 1e-6 < d < 0.15, d
