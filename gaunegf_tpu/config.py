@@ -124,7 +124,8 @@ class ExecutionConfig:
     #   quality ~1e-4 -- pair with 'mixed', whose Newton polish is
     #   residual-floor- not seed-limited); 'pstrip': the scan panel with
     #   each 32-column strip eliminated by ONE Pallas program (VPU-only
-    #   in-kernel loop, deferred updates stay in XLA).  Device-correct
+    #   in-kernel loop, deferred updates stay in XLA; f32-only -- falls
+    #   back to the XLA strips on complex128).  Device-correct
     #   but a perf wash: the round-3 profile showed the strip loops cost
     #   only ~42 ms of N=2000's 594 ms while bucket (and the tri-inv fori
     #   base cases were ruled out the same way -- see zlinalg

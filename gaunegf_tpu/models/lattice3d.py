@@ -191,8 +191,13 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
     gamma_point_only=True (default): the reference-parity mode -- the
     half-space uses the Bethe-lattice fixed point (surfG3D's actual
     behaviour).  gamma_point_only=False: the crystal half-space is
-    BZ-integrated on an nk x nk Monkhorst-Pack grid (beyond the
-    reference).  Both modes support the warm-started engine family; in
+    BZ-integrated on an nk x nk surface-BZ grid (beyond the reference).
+    With bz_symmetry=True (default) the grid is GAMMA-CENTRED and folded
+    by the plane's validated little group (exact vs that grid, ~3-6x
+    fewer decimations); bz_symmetry=False keeps the shifted
+    Monkhorst-Pack grid.  The two grid flavours differ at finite nk
+    (~5% at nk=4) and converge to the same integral -- pass
+    bz_symmetry=False to reproduce pre-round-3 k-space numbers.  Both modes support the warm-started engine family; in
     k-space mode only the in-plane Jacobi relaxation carries across
     energies (the per-k decimation re-solves cold -- see
     kspace.kspace_sigma_surface).
@@ -215,9 +220,15 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
             # Monkhorst-Pack grid when no reduction validates.
             from gaunegf_tpu.models.kspace import (
                 bz_reduce, kspace_phases, phases_for_frac)
+            reds = [bz_reduce(nv, self.nk) if bz_symmetry else None
+                    for nv in self.dir_lists]
+            if any(r is None for r in reds):
+                # all-or-nothing: never mix Gamma-centred (reduced) and
+                # Monkhorst-Pack (fallback) grid flavours between the
+                # contacts of one system
+                reds = [None] * len(reds)
             self._phases, self._syms = [], []
-            for nv in self.dir_lists:
-                red = bz_reduce(nv, self.nk) if bz_symmetry else None
+            for nv, red in zip(self.dir_lists, reds):
                 if red is None:
                     self._phases.append(kspace_phases(nv, self.nk))
                     self._syms.append(None)

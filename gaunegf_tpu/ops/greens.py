@@ -1593,11 +1593,14 @@ class EnergyEngine:
             meta.append((a.shape, a.dtype.str))
             h.update(a.tobytes())
         key = (treedef, tuple(meta), h.hexdigest())
-        hit = self._params_dev.get(key)
+        hit = self._params_dev.pop(key, None)
         if hit is not None:
+            self._params_dev[key] = hit    # LRU: move-to-end on hit, so a
+            # steady-state cycle through several param trees keeps its hot
+            # entries instead of FIFO-evicting them every round
             return hit
         dev = self._put_replicated(split_tree(params, self.cdtype))
-        if len(self._params_dev) >= 4:     # bound memory: SCF alternates
+        if len(self._params_dev) >= 6:     # bound device memory
             self._params_dev.pop(next(iter(self._params_dev)))
         self._params_dev[key] = dev
         return dev

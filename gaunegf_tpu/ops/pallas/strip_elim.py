@@ -34,7 +34,7 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-__all__ = ["eliminate_strip", "HAVE_PALLAS"]
+__all__ = ["eliminate_strip", "pallas_interpret_default", "HAVE_PALLAS"]
 
 
 def _make_kernel(m: int, strip: int):
@@ -53,9 +53,12 @@ def _make_kernel(m: int, strip: int):
             onehot = (lanes == p).astype(jnp.float32)  # (1, m)
             pr = jnp.sum(cr * onehot)
             pi = jnp.sum(ci * onehot)
-            den = pr * pr + pi * pi
-            den = jnp.where(den == 0, 1.0, den)        # padded/singular guard
-            inv_r, inv_i = pr / den, -pi / den
+            # two divisions by |p| instead of one by |p|^2: pr*pr+pi*pi
+            # underflows f32 for |p| < ~1e-19 and would trip the singular
+            # guard, zeroing multipliers the XLA paths compute correctly
+            pm = jnp.hypot(pr, pi)
+            pm = jnp.where(pm == 0, 1.0, pm)           # padded/singular guard
+            inv_r, inv_i = (pr / pm) / pm, -(pi / pm) / pm
             keep = (avail > 0) & (onehot == 0)
             lr = jnp.where(keep, cr * inv_r - ci * inv_i, 0.0)
             li = jnp.where(keep, cr * inv_i + ci * inv_r, 0.0)
@@ -85,6 +88,19 @@ def _make_kernel(m: int, strip: int):
     return kernel
 
 
+def pallas_interpret_default() -> bool:
+    """Whether strip kernels should run in interpreter mode.
+
+    True on CPU-default processes and whenever GAUNEGF_PALLAS_INTERPRET=1
+    (escape hatch for CPU-placed computations inside a TPU-default
+    process, where Mosaic lowering would fail -- and per the backend
+    notes a failed op can poison the TPU client)."""
+    import os
+    if os.environ.get("GAUNEGF_PALLAS_INTERPRET", "") == "1":
+        return True
+    return jax.default_backend() == "cpu"
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def eliminate_strip(sb, avail, interpret: bool = False):
     """Factor one transposed (strip, m) complex64 strip in-place.
@@ -93,7 +109,8 @@ def eliminate_strip(sb, avail, interpret: bool = False):
     panel layout, zlinalg._factor_panel_scan).  avail: (m,) bool lanes
     still available as pivots.  Returns (sb', piv32 (strip,) int32,
     avail' (m,) bool) with exactly the per-column elimination semantics
-    of _factor_panel_scan's XLA `eliminate` body.
+    of _factor_panel_scan's XLA `eliminate` body.  f32-only: callers fall
+    back to the XLA strips for complex128 inputs.
     """
     strip, m = sb.shape
     tre = jnp.real(sb).astype(jnp.float32)[None]

@@ -369,8 +369,12 @@ def _factor_panel_base_pallas(panel):
     padded to _PSTRIP_M_BUCKET multiples (masked via avail) so the
     recursion's shrinking leaf shapes reuse a few kernel specializations.
     """
-    import jax as _jax
-    from gaunegf_tpu.ops.pallas.strip_elim import eliminate_strip
+    from gaunegf_tpu.ops.pallas.strip_elim import (
+        eliminate_strip, pallas_interpret_default)
+    if panel.dtype == jnp.complex128:
+        # the kernel computes in f32; silently losing ~11 digits on the
+        # x64/goldens path is unacceptable -- use the XLA strips there
+        return _factor_panel_virtual(panel)
     m, bs = panel.shape
     mp = max(_PSTRIP_M_BUCKET, -(-m // _PSTRIP_M_BUCKET) * _PSTRIP_M_BUCKET)
     pt = panel.T
@@ -378,7 +382,7 @@ def _factor_panel_base_pallas(panel):
         pt = jnp.pad(pt, ((0, 0), (0, mp - m)))
     avail = _tie_vma(jnp.arange(mp) < m, pt)
     sb, pivrows, avail = eliminate_strip(
-        pt, avail, interpret=_jax.default_backend() == "cpu")
+        pt, avail, interpret=pallas_interpret_default())
     rest = jnp.where(avail[:m], size=m - bs)[0].astype(jnp.int32) \
         if m > bs else jnp.zeros((0,), jnp.int32)
     perm = jnp.concatenate([pivrows, rest])
@@ -488,10 +492,12 @@ def _factor_panel_scan(panel, base: int = PANEL_SPLIT_BASE,
         piv32 = piv32.at[j].set(p.astype(jnp.int32))
         return sb, avail, piv32
 
+    if strip_impl == "pallas" and panel.dtype == jnp.complex128:
+        strip_impl = "xla"           # kernel is f32-only (see strip_elim)
     if strip_impl == "pallas":
-        import jax as _jax
-        from gaunegf_tpu.ops.pallas.strip_elim import eliminate_strip
-        _interp = _jax.default_backend() == "cpu"
+        from gaunegf_tpu.ops.pallas.strip_elim import (
+            eliminate_strip, pallas_interpret_default)
+        _interp = pallas_interpret_default()
 
     def strip(carry, s):
         pt, avail, pivrows = carry
@@ -582,6 +588,33 @@ def _pad_to(A, Np):
     return out.at[..., idx, idx].set(1.0)
 
 
+
+def _dispatch_panel(panel, panel_impl: str):
+    """Shared panel-factorization dispatch for _zsolve_single /
+    _zlu_factor_single / zsolve_dist (one place to add an impl)."""
+    if panel_impl == "pallas":
+        from gaunegf_tpu.ops.pallas.panel_lu import factor_panel_pallas
+        return factor_panel_pallas(panel)
+    if panel_impl == "fused":
+        from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
+        return factor_panel_fused(panel)
+    if panel_impl == "fused3":
+        from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
+        return factor_panel_fused(panel, mode="bf16x3")
+    if panel_impl == "virtual":
+        return _factor_panel_virtual(panel)
+    if panel_impl == "split":
+        return _factor_panel_split(panel)
+    if panel_impl == "scan":
+        return _factor_panel_scan(panel)
+    if panel_impl == "pstrip":
+        return _factor_panel_scan(panel, strip_impl="pallas")
+    if panel_impl == "psplit":
+        return _factor_panel_split(panel, strip_impl="pallas")
+    perm0 = jnp.arange(panel.shape[0], dtype=jnp.int32)
+    return _factor_panel(panel, perm0)
+
+
 def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
     """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
 
@@ -610,29 +643,7 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
     u_diag = []                                     # per panel: (bs, bs)
     for kb in range(nb):
         panel = work[:, :bs]
-        m = panel.shape[0]
-        if panel_impl == "pallas":
-            from gaunegf_tpu.ops.pallas.panel_lu import factor_panel_pallas
-            panel, perm = factor_panel_pallas(panel)
-        elif panel_impl == "fused":
-            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
-            panel, perm = factor_panel_fused(panel)
-        elif panel_impl == "fused3":
-            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
-            panel, perm = factor_panel_fused(panel, mode="bf16x3")
-        elif panel_impl == "virtual":
-            panel, perm = _factor_panel_virtual(panel)
-        elif panel_impl == "split":
-            panel, perm = _factor_panel_split(panel)
-        elif panel_impl == "scan":
-            panel, perm = _factor_panel_scan(panel)
-        elif panel_impl == "pstrip":
-            panel, perm = _factor_panel_scan(panel, strip_impl="pallas")
-        elif panel_impl == "psplit":
-            panel, perm = _factor_panel_split(panel, strip_impl="pallas")
-        else:
-            perm0 = jnp.arange(m, dtype=jnp.int32)
-            panel, perm = _factor_panel(panel, perm0)
+        panel, perm = _dispatch_panel(panel, panel_impl)
         rest = work[:, bs:][perm, :]                # one permutation gather
         L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
         Linv = _tri_inv_fast(L11, lower=True, unit=True)
@@ -675,25 +686,7 @@ def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
     work = A
     for kb in range(nb):
         panel = work[:, :bs]
-        if panel_impl == "virtual":
-            panel, perm = _factor_panel_virtual(panel)
-        elif panel_impl == "split":
-            panel, perm = _factor_panel_split(panel)
-        elif panel_impl == "scan":
-            panel, perm = _factor_panel_scan(panel)
-        elif panel_impl == "pstrip":
-            panel, perm = _factor_panel_scan(panel, strip_impl="pallas")
-        elif panel_impl == "psplit":
-            panel, perm = _factor_panel_split(panel, strip_impl="pallas")
-        elif panel_impl == "fused":
-            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
-            panel, perm = factor_panel_fused(panel)
-        elif panel_impl == "fused3":
-            from gaunegf_tpu.ops.pallas.panel_fused import factor_panel_fused
-            panel, perm = factor_panel_fused(panel, mode="bf16x3")
-        else:
-            perm0 = jnp.arange(panel.shape[0], dtype=jnp.int32)
-            panel, perm = _factor_panel(panel, perm0)
+        panel, perm = _dispatch_panel(panel, panel_impl)
         rest = work[:, bs:][perm, :]
         L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
         Linv = _tri_inv_fast(L11, lower=True, unit=True)
@@ -1353,20 +1346,12 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
         r0 = kb * bs
         owner, lj = kb % M, kb // M
         pan = A_loc[r0:, lj * bs:(lj + 1) * bs]
-        if panel_impl == "virtual":
-            packed_l, perm_l = _factor_panel_virtual(pan)
-        elif panel_impl == "split":
-            packed_l, perm_l = _factor_panel_split(pan)
-        elif panel_impl == "scan":
-            packed_l, perm_l = _factor_panel_scan(pan)
-        elif panel_impl == "pstrip":
-            packed_l, perm_l = _factor_panel_scan(pan, strip_impl="pallas")
-        elif panel_impl == "psplit":
-            packed_l, perm_l = _factor_panel_split(pan, strip_impl="pallas")
-        else:
+        if panel_impl not in ("virtual", "split", "scan", "pstrip",
+                              "psplit"):
             raise ValueError(
-                f"zsolve_dist supports panel_impl 'split'/'virtual'/"
-                f"'scan', got {panel_impl!r}")
+                f"zsolve_dist supports panel_impl 'split'/'virtual'/'scan'"
+                f"/'pstrip'/'psplit', got {panel_impl!r}")
+        packed_l, perm_l = _dispatch_panel(pan, panel_impl)
         packed = bcast(packed_l, owner)
         perm = bcast(perm_l.astype(jnp.int32), owner)
         L11 = jnp.tril(packed[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
