@@ -1509,6 +1509,29 @@ def _cdtype(exec_cfg):
     return np.complex64
 
 
+
+_OPERAND_DEV_CACHE = {}   # (content digest, mesh key) -> device split tree
+
+
+def _content_digest(tree):
+    """Hashable content key of a host NumPy pytree (treedef + per-leaf
+    shape/dtype + blake2b of the bytes), or None for non-array leaves
+    that numpy cannot serialize."""
+    import hashlib
+    import jax.tree_util as jtu
+    leaves, treedef = jtu.tree_flatten(tree)
+    h = hashlib.blake2b(digest_size=16)
+    meta = []
+    try:
+        for leaf in leaves:
+            a = np.ascontiguousarray(np.asarray(leaf))
+            meta.append((a.shape, a.dtype.str))
+            h.update(a.tobytes())
+    except Exception:
+        return None
+    return (treedef, tuple(meta), h.hexdigest())
+
+
 class EnergyEngine:
     """Bound engine for a fixed (H, S, provider) system.
 
@@ -1538,10 +1561,17 @@ class EnergyEngine:
         # ~2.7 s/call at N=2000 (measured: 19.1 -> 32.0 pts/s from this
         # device_put alone, results bit-identical).  H/S are copied into
         # the split trees at construction, so residency is safe even if
-        # the caller later mutates its H.
-        self.H_s = self._put_replicated(self.H_s)
-        self.S_s = self._put_replicated(self.S_s)
+        # the caller later mutates its H.  The content-keyed global cache
+        # additionally spares the S re-upload when SCF cycles rebuild the
+        # engine with a fresh F but the same overlap.
+        self.H_s = self._put_cached(self.H_s)
+        self.S_s = self._put_cached(self.S_s)
         self._params_dev = {}          # content digest -> device split tree
+
+    def _mesh_key(self):
+        if self.mesh is None:
+            return None
+        return (tuple(self.mesh.devices.flat), self.mesh.axis_names)
 
     def _put_replicated(self, tree):
         """device_put a host pytree (replicated over the mesh if any);
@@ -1554,6 +1584,24 @@ class EnergyEngine:
             return jax.device_put(tree, NamedSharding(self.mesh, P()))
         except Exception:
             return tree
+
+    def _put_cached(self, tree):
+        """device_put through a global content-keyed LRU, so identical
+        operand trees (the unchanged S across SCF cycles, repeated engine
+        builds on one system) upload once per process."""
+        digest = _content_digest(tree)
+        if digest is None:
+            return self._put_replicated(tree)
+        key = (digest, self._mesh_key())
+        hit = _OPERAND_DEV_CACHE.pop(key, None)
+        if hit is not None:
+            _OPERAND_DEV_CACHE[key] = hit
+            return hit
+        dev = self._put_replicated(tree)
+        if len(_OPERAND_DEV_CACHE) >= 8:
+            _OPERAND_DEV_CACHE.pop(next(iter(_OPERAND_DEV_CACHE)))
+        _OPERAND_DEV_CACHE[key] = dev
+        return dev
 
     def _dw_split(self, x):
         """Exact two-float decomposition of an f64 array, each half as a
@@ -1583,16 +1631,9 @@ class EnergyEngine:
         Chain1DSelfEnergy.setF mutate their arrays in place, so identity
         keying would serve stale physics.  The digest costs ~1 ms per
         16 MB -- noise against the upload it avoids."""
-        import hashlib
-        import jax.tree_util as jtu
-        leaves, treedef = jtu.tree_flatten(params)
-        h = hashlib.blake2b(digest_size=16)
-        meta = []
-        for leaf in leaves:
-            a = np.ascontiguousarray(np.asarray(leaf))
-            meta.append((a.shape, a.dtype.str))
-            h.update(a.tobytes())
-        key = (treedef, tuple(meta), h.hexdigest())
+        key = _content_digest(params)
+        if key is None:
+            return split_tree(params, self.cdtype)
         hit = self._params_dev.pop(key, None)
         if hit is not None:
             self._params_dev[key] = hit    # LRU: move-to-end on hit, so a
