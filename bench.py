@@ -79,7 +79,12 @@ def _prep_backend():
     """Persistent compile cache (first compiles are minutes through the
     remote compiler; reruns should not repay them) + a tiny health check
     so a wedged remote service fails fast and visibly instead of hanging
-    inside the first engine compile."""
+    inside the first engine compile.  The check runs under SIGALRM: a
+    wedged-but-connected tunnel otherwise blocks jnp dispatch FOREVER
+    (observed round 3: multi-hour service outage where even a 128x128
+    matmul never returned), and the driver would record a silent hang
+    instead of an actionable error."""
+    import signal
     import jax
     import jax.numpy as jnp
     try:
@@ -88,9 +93,28 @@ def _prep_backend():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception as e:                      # cache is best-effort
         print(f"# compile cache unavailable: {e}", file=sys.stderr)
+
+    def _alarm(signum, frame):
+        raise TimeoutError("TPU health check exceeded 600 s")
+
     t0 = time.time()
-    x = jnp.ones((128, 128), jnp.float32)
-    assert np.asarray(x @ x)[0, 0] == 128.0
+    old = None
+    try:
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(600)
+    except ValueError:                          # non-main thread
+        pass
+    try:
+        x = jnp.ones((128, 128), jnp.float32)
+        assert np.asarray(x @ x)[0, 0] == 128.0
+    except TimeoutError as e:
+        print(f"# FATAL: {e} -- backend/tunnel wedged, aborting bench",
+              file=sys.stderr)
+        sys.exit(2)
+    finally:
+        if old is not None:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
     print(f"# health check OK ({time.time() - t0:.1f}s, "
           f"{jax.devices()[0]})", file=sys.stderr)
 
