@@ -177,3 +177,22 @@ def test_params_cache_sees_inplace_mutation(rng):
     # -1j*1e-9*S background, which the fresh sig1=-0.1j provider has once
     np.testing.assert_allclose(out2, fresh, rtol=0, atol=1e-6)
     assert np.max(np.abs(out2 - out1)) > 1e-6
+
+
+def test_operand_cache_shares_device_trees():
+    """Two engines on the same (H, S) share one device tree (the SCF
+    rebuild pattern: fresh F each cycle, same overlap -- S must not
+    re-upload), and different H gets its own entry."""
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    n = 24
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+    S = np.eye(n)
+    g = ConstantSelfEnergy(H, S, [np.arange(3), np.arange(n - 3, n)],
+                           sig1=-0.05j)
+    e1 = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=4))
+    e2 = EnergyEngine(H + 0.1 * np.eye(n), S, g,
+                      ExecutionConfig(energy_chunk=4))
+    assert e1.S_s is e2.S_s                   # same overlap: cache hit
+    assert e1.H_s is not e2.H_s               # different Fock: miss
+    e3 = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=8))
+    assert e3.H_s is e1.H_s and e3.S_s is e1.S_s
