@@ -36,6 +36,11 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+try:                                    # jax >= 0.8
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
 from gaunegf_tpu.config import ExecutionConfig
 from gaunegf_tpu.ops import zlinalg as zl
 from gaunegf_tpu.ops.complexio import (
@@ -48,6 +53,24 @@ __all__ = [
 ]
 
 _DEFAULT_EXEC = ExecutionConfig()
+
+
+def _pvary(x, axes):
+    """Cast invariant values to device-varying over manual mesh axes.
+
+    jax<=0.8 spelled this ``lax.pvary``; jax 0.9 removed it in favour of
+    ``lax.pcast(..., to='varying')``, which additionally REJECTS axes the
+    value is already varying over -- so filter per leaf via the aval's vma
+    set to keep the old idempotent semantics."""
+    pcast = getattr(lax, "pcast", None)
+    if pcast is None:                               # jax <= 0.8
+        return jax.tree_util.tree_map(lambda v: lax.pvary(v, axes), x)
+
+    def one(leaf):
+        need = tuple(a for a in axes if a not in jax.typeof(leaf).vma)
+        return pcast(leaf, need, to="varying") if need else leaf
+
+    return jax.tree_util.tree_map(one, x)
 
 
 def _gr_point(E, H, S, sigma, exec_cfg: ExecutionConfig):
@@ -470,8 +493,7 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
         dt = H.dtype
         init = (jnp.zeros((N, N), dt), jnp.zeros((N, N), dt))
         if varying:
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+            init = _pvary(init, (ENERGY_AXIS,))
         (s, c), _ = lax.scan(scan_fn, init, (E, w))
         out = s + c
         return jnp.imag(out) if epilog == "im" else out
@@ -483,7 +505,6 @@ def _build_sum_engine(point_fn, sig_tot_fn, sig_c_fn, exec_cfg: ExecutionConfig,
             return split_traced(device_body(params, H, S, E[0], w[0]))
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, w_s):
@@ -544,8 +565,7 @@ def _build_density_neq_engine(sig_tot_fn, sig_c_fn, c_inds,
         init_eq = (jnp.zeros((N, N), rdt), jnp.zeros((N, N), rdt))
         init_gl = (jnp.zeros((N, N), H.dtype), jnp.zeros((N, N), H.dtype))
         if varying:
-            init_eq, init_gl = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), (init_eq, init_gl))
+            init_eq, init_gl = _pvary((init_eq, init_gl), (ENERGY_AXIS,))
         (se, ce), _ = lax.scan(scan_eq, init_eq, (Eq, wq))
         (sg, cg), _ = lax.scan(scan_gl, init_gl, (En, wn))
         return (se + ce) + (sg + cg)
@@ -559,7 +579,6 @@ def _build_density_neq_engine(sig_tot_fn, sig_c_fn, c_inds,
                 device_body(params, H, S, Eq[0], wq[0], En[0], wn[0]))
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, Eq_s, wq_s, En_s, wn_s):
@@ -595,7 +614,6 @@ def _build_sum_engine_mp(point_fn, sig_tot_fn, sig_c_fn,
     outside the kernels' own internal all_gathers.
     """
     m_size = mesh.shape[MODEL_AXIS]
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, w_s):
@@ -614,8 +632,7 @@ def _build_sum_engine_mp(point_fn, sig_tot_fn, sig_c_fn,
 
             init = (jnp.zeros((N, N // m_size), dt),
                     jnp.zeros((N, N // m_size), dt))
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)), init)
+            init = _pvary(init, (ENERGY_AXIS, MODEL_AXIS))
             (s, c), _ = lax.scan(scan_fn, init, (E[0], w[0]))
             out = s + c
             if epilog == "im":
@@ -647,7 +664,6 @@ def _build_map_engine_mp(point_fn, fns, exec_cfg: ExecutionConfig,
     or replicated over 'm' (psum / _pick_psum inside), so the output is
     'm'-invariant and shards over 'e' only."""
     m_size = mesh.shape[MODEL_AXIS]
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s):
@@ -682,7 +698,6 @@ def _build_density_neq_engine_mp(sig_tot_fn, sig_c_fn, c_inds,
     cycle WITH tensor parallelism (the single-'m' fused engine's sibling).
     """
     m_size = mesh.shape[MODEL_AXIS]
-    from jax.experimental.shard_map import shard_map
 
     if c_inds is not None:
         point_gl = lambda e, ww, H, S, params: \
@@ -721,9 +736,8 @@ def _build_density_neq_engine_mp(sig_tot_fn, sig_c_fn, c_inds,
             init_eq = (jnp.zeros((N, wcol), rdt), jnp.zeros((N, wcol), rdt))
             init_gl = (jnp.zeros((N, wcol), H.dtype),
                        jnp.zeros((N, wcol), H.dtype))
-            init_eq, init_gl = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)),
-                (init_eq, init_gl))
+            init_eq, init_gl = _pvary((init_eq, init_gl),
+                                      (ENERGY_AXIS, MODEL_AXIS))
             (se, ce), _ = lax.scan(scan_eq, init_eq, (Eq[0], wq[0]))
             (sg, cg), _ = lax.scan(scan_gl, init_gl, (En[0], wn[0]))
             partial = (se + ce) + (sg + cg)
@@ -748,7 +762,6 @@ def _build_sum_engine_dw_mp(point_fn, sig_tot_fn, sig_c_fn,
     _build_sum_engine_dw (the 'e' psum replaced by the exact gather +
     TwoSum + masked-psum pattern), with out_specs P(None, 'm')."""
     m_size = mesh.shape[MODEL_AXIS]
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, w_s):
@@ -772,15 +785,15 @@ def _build_sum_engine_dw_mp(point_fn, sig_tot_fn, sig_c_fn,
                 def red(i, s):
                     return _cdw_add(s, (his[i], los[i]))
 
-                init_red = jax.tree_util.tree_map(
-                    lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)),
-                    (jnp.zeros((N, wcol), dt), jnp.zeros((N, wcol), dt)))
+                init_red = _pvary(
+                    (jnp.zeros((N, wcol), dt), jnp.zeros((N, wcol), dt)),
+                    (ENERGY_AXIS, MODEL_AXIS))
                 chunk_sum = lax.fori_loop(0, his.shape[0], red, init_red)
                 return _cdw_add(carry, chunk_sum), None
 
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS, MODEL_AXIS)),
-                (jnp.zeros((N, wcol), dt), jnp.zeros((N, wcol), dt)))
+            init = _pvary(
+                (jnp.zeros((N, wcol), dt), jnp.zeros((N, wcol), dt)),
+                (ENERGY_AXIS, MODEL_AXIS))
             (s_hi, s_lo), _ = lax.scan(scan_fn, init, (E_dw, w_dw))
             g_hi = lax.all_gather(s_hi, ENERGY_AXIS)
             g_lo = lax.all_gather(s_lo, ENERGY_AXIS)
@@ -854,8 +867,7 @@ def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
         state_lanes = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (chunk,) + x.shape), state0)
         if varying:
-            state_lanes = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), state_lanes)
+            state_lanes = _pvary(state_lanes, (ENERGY_AXIS,))
 
         def scan_fn(state, Eb):
             # ONE vmap for sigma + observable: a separate sigma vmap would
@@ -880,7 +892,6 @@ def _build_trans_engine_warm(warm_fn, exec_cfg: ExecutionConfig,
                 device_body(params, H, S, E[0], state0)[None])
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, state0_s):
@@ -926,10 +937,8 @@ def _build_sum_engine_warm(kind: str, warm_fn, exec_cfg: ExecutionConfig,
         N = H.shape[-1]
         init_acc = (jnp.zeros((N, N), H.dtype), jnp.zeros((N, N), H.dtype))
         if varying:
-            init_acc = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init_acc)
-            state_lanes = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), state_lanes)
+            init_acc = _pvary(init_acc, (ENERGY_AXIS,))
+            state_lanes = _pvary(state_lanes, (ENERGY_AXIS,))
 
         def scan_fn(carry, inputs):
             acc, state = carry
@@ -954,7 +963,6 @@ def _build_sum_engine_warm(kind: str, warm_fn, exec_cfg: ExecutionConfig,
                                             state0))
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, w_s, state0_s):
@@ -1033,8 +1041,7 @@ def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
         init = ((jnp.zeros((N, N), adt), jnp.zeros((N, N), adt)),
                 jnp.zeros((lanes, N, N), dt), jnp.array(False))
         if varying:
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+            init = _pvary(init, (ENERGY_AXIS,))
 
         def scan_fn(carry, inputs):
             acc, X_prev, valid = carry
@@ -1085,8 +1092,7 @@ def _build_density_eq_split_engine(sig_tot_fn, exec_cfg: ExecutionConfig,
 
         init = (jnp.zeros((N, N), rdt), jnp.zeros((N, N), rdt))
         if varying:
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+            init = _pvary(init, (ENERGY_AXIS,))
         (s, c), _ = lax.scan(scan_fn, init, (E, w))
         return s + c
 
@@ -1102,7 +1108,6 @@ def _build_density_eq_split_engine(sig_tot_fn, exec_cfg: ExecutionConfig,
             return split_traced(out)
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, Er_s, wr_s, Ec_s, wc_s):
@@ -1181,8 +1186,7 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
         init = ((jnp.zeros((N, N), dt), jnp.zeros((N, N), dt)),
                 jnp.zeros((lanes, N, N), dt), jnp.array(False))
         if varying:
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+            init = _pvary(init, (ENERGY_AXIS,))
 
         def scan_fn(carry, inputs):
             acc, X_prev, valid = carry
@@ -1209,7 +1213,6 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
             return split_traced(device_body(params, H, S, E[0], w[0]))
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, w_s):
@@ -1278,15 +1281,13 @@ def _build_sum_engine_dw(point_fn, sig_tot_fn, sig_c_fn,
             if varying:
                 # tie the constant carry seed to the data's varying-ness
                 # (see CLAUDE.md: shard_map vma carries)
-                init_red = jax.tree_util.tree_map(
-                    lambda x: lax.pvary(x, (ENERGY_AXIS,)), init_red)
+                init_red = _pvary(init_red, (ENERGY_AXIS,))
             chunk_sum = lax.fori_loop(0, his.shape[0], red, init_red)
             return _cdw_add(carry, chunk_sum), None
 
         init = (jnp.zeros((N, N), dt), jnp.zeros((N, N), dt))
         if varying:
-            init = jax.tree_util.tree_map(
-                lambda x: lax.pvary(x, (ENERGY_AXIS,)), init)
+            init = _pvary(init, (ENERGY_AXIS,))
         (s_hi, s_lo), _ = lax.scan(scan_fn, init, (E_dw, w_dw))
         return s_hi, s_lo
 
@@ -1300,7 +1301,6 @@ def _build_sum_engine_dw(point_fn, sig_tot_fn, sig_c_fn,
             return split_traced(device_body(params, H_dw, S_dw, E_dw, w_dw))
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s, w_s):
@@ -1360,7 +1360,6 @@ def _build_map_engine(point_fn, fns, exec_cfg: ExecutionConfig,
             return split_traced(device_body(params, H, S, E[0])[None])
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s):
@@ -1407,7 +1406,6 @@ def _build_map_engine_dw(point_fn, fns, exec_cfg: ExecutionConfig,
                 lambda x: x[None], out))
         return engine
 
-    from jax.experimental.shard_map import shard_map
 
     @jax.jit
     def engine(params_s, H_s, S_s, E_s):

@@ -308,9 +308,21 @@ class NEGF:
 
     def PToFock(self):
         """Rebuild F from the stored density via the backend
-        (scf.py:664-687)."""
+        (scf.py:664-687).
+
+        A transient backend failure (a crashed QC subprocess mid-run) must
+        not kill a multi-hour SCF: like the reference (scf.py:674-679), the
+        cycle is invalidated -- previous Fock and energy kept, dE=0 -- and
+        the loop continues to the next cycle."""
         total_E_old = self.total_E
-        self.F, self.total_E = self.backend.fock(self._P_stored)
+        try:
+            F, total_E = self.backend.fock(self._P_stored)
+        except Exception as e:
+            print("WARNING: BACKEND FOCK BUILD FAILED, CYCLE INVALID:")
+            print(e)
+            print("CONTINUING TO NEXT CYCLE...")
+            return 0.0
+        self.F, self.total_E = F, total_E
         self.F = np.asarray(self.F)
         dE = self.total_E - total_E_old
         if self.verbose:

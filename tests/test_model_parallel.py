@@ -10,6 +10,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 
 from gaunegf_tpu.config import ExecutionConfig
 from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
@@ -98,7 +99,6 @@ def test_model_shards_fallback_when_indivisible(rng):
 
 def test_zinv_refined_cols_direct(rng):
     """Column-sharded inverse == full inverse, blocked kernel, f32."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from gaunegf_tpu.ops import zlinalg as zl
 
@@ -121,7 +121,6 @@ def test_zinv_refined_cols_direct(rng):
 def test_zsolve_dist_matches_serial(rng, m):
     """Distributed-LU solve (panel-cyclic columns, one broadcast per
     panel) == LAPACK, on the CPU mesh."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from gaunegf_tpu.ops import zlinalg as zl
 
@@ -131,7 +130,7 @@ def test_zsolve_dist_matches_serial(rng, m):
     B = (rng.standard_normal((N, k))
          + 1j * rng.standard_normal((N, k))).astype(np.complex64)
     mesh = energy_mesh(model_parallel=m)
-    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh,
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh=mesh,
                   in_specs=(P(), P(None, MODEL_AXIS)),
                   out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
                                                  jnp.asarray(B))
@@ -253,7 +252,6 @@ def test_gr_sum_distributed_lu_matches_serial(rng):
 def test_zsolve_dist_pads_uneven_sizes(rng):
     """N not divisible by bs*m: zsolve_dist pads internally (ADVICE r2;
     distribute_lu usable at any N without tuning lu_block)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from gaunegf_tpu.ops import zlinalg as zl
 
@@ -263,7 +261,7 @@ def test_zsolve_dist_pads_uneven_sizes(rng):
     B = (rng.standard_normal((N, k))
          + 1j * rng.standard_normal((N, k))).astype(np.complex64)
     mesh = energy_mesh(model_parallel=m)
-    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh,
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh=mesh,
                   in_specs=(P(), P(None, MODEL_AXIS)),
                   out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
                                                  jnp.asarray(B))
@@ -279,7 +277,6 @@ def test_zsolve_dist_pads_uneven_sizes(rng):
                            "(verified round 3: rel err 6.7e-7, BASELINE.md)")
 def test_zsolve_dist_scale_n2048(rng):
     """Panel-cyclic distributed LU at the scale the flag targets."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from gaunegf_tpu.ops import zlinalg as zl
 
@@ -289,7 +286,7 @@ def test_zsolve_dist_scale_n2048(rng):
     B = (rng.standard_normal((N, k))
          + 1j * rng.standard_normal((N, k))).astype(np.complex64)
     mesh = energy_mesh(model_parallel=m)
-    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh,
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh=mesh,
                   in_specs=(P(), P(None, MODEL_AXIS)),
                   out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
                                                  jnp.asarray(B))

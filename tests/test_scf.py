@@ -170,3 +170,39 @@ def test_pulay_degenerate_window_falls_back_to_damping(tmp_path):
         rmsdp, maxdp = negf.PMix(0.05, pulay=True)   # must not raise
     assert np.all(np.isfinite(negf.P))
     np.testing.assert_allclose(negf.P, P_fixed, rtol=0, atol=1e-12)
+
+
+class FlakyFock:
+    """Backend whose fock() raises on chosen calls (a crashed QC
+    subprocess mid-SCF) -- the run must skip the cycle and recover
+    (reference scf.py:674-679)."""
+
+    def __init__(self, inner, fail_on=(1,)):
+        self._inner = inner
+        self._fail_on = set(fail_on)
+        self._calls = 0
+
+    def __getattr__(self, name):                 # delegate everything else
+        return getattr(self._inner, name)
+
+    def fock(self, P):
+        self._calls += 1
+        if self._calls in self._fail_on:
+            raise RuntimeError("simulated backend crash")
+        return self._inner.fock(P)
+
+
+def test_scf_survives_transient_backend_failure(tmp_path, capsys):
+    be = FlakyFock(make_backend(U=0.5), fail_on=(2, 3))
+    negf = NEGF(be, name=str(tmp_path / "flaky"), verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    negf.SCF(conv=1e-6, damping=0.05, max_cycles=200)
+    assert negf.conv_level < 1e-6          # converged despite the crashes
+    assert "CYCLE INVALID" in capsys.readouterr().out
+    # and the converged point is genuinely self-consistent
+    F1 = negf.F.copy()
+    negf.FockToP()
+    negf.backend.store_density(negf.P)
+    F2, _ = negf.backend.fock(negf.P)
+    assert np.max(np.abs(F1 - F2)) < 1e-4
