@@ -28,6 +28,14 @@ import numpy as np
 # N=1000, complex128): see BASELINE.md.
 CPU_BASELINE_PTS_PER_SEC = 5.0
 
+# North-star accounting (BASELINE.json: ">=10x a 64-core CPU at N=2000").
+# No 64-core box exists in this environment, so the denominator is modeled
+# UP, i.e. conservatively against us: 5.0 pts/s measured at N=1000 on one
+# core, /8 for the N^3 step to N=2000 (measured locally: 8.3x), x30 for
+# 64-core LAPACK zgesv scaling (typical published range is 20-30x; we take
+# the top).  See BASELINE.md "north-star accounting" for the derivation.
+CPU_64CORE_N2000_EST = 18.8
+
 # Cross-session anchors (VERDICT r2 item 6): chip/tunnel throughput drifts
 # up to ~7x between sessions on identical code (BASELINE.md), so the
 # headline number alone cannot distinguish a regression from a slow
@@ -203,6 +211,15 @@ def main():
             "anchor_ratio": round(anchor_ratio, 4),
             "value_normalized": round(pts_1000 / anchor_ratio, 2),
             "n2000_mixed_normalized": round(pts_2000 / anchor_ratio, 2),
+            # North star: >=10x a 64-core CPU at N=2000 (modeled
+            # denominator, see CPU_64CORE_N2000_EST).  The 8-chip
+            # projection assumes linear energy-axis scaling: the sharded
+            # engine is one psum of an (N,N) partial sum per dispatch
+            # (sharded==serial proven by dryrun_multichip), so for long
+            # grids the collective cost is amortized to ~0.
+            "vs_64core_est": round(pts_2000 / CPU_64CORE_N2000_EST, 2),
+            "vs_64core_est_8chip_proj": round(
+                8 * pts_2000 / CPU_64CORE_N2000_EST, 2),
         },
     }))
 
