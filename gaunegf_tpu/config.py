@@ -136,6 +136,12 @@ class ExecutionConfig:
     #   masked-select kernel (experimental).  All produce the identical
     #   partial-pivot sequence (up to near-tie pivots in 'fused3').
     lu_panel: str = "auto"   # auto: 'scan' below N=1536, 'split' above
+    # trailing-update / substitution matmul budget inside the blocked LU
+    # (zlinalg._mm_trail): 'hi' = f32 HIGHEST (6 MXU passes per real
+    # product); 'high' = lax.Precision.HIGH (3 passes, ~2^-15 -- the
+    # mixed tier's Newton polish absorbs the seed error); 'bf3' = three
+    # explicit one-pass bf16 products (bit-masked splits).
+    lu_trail: str = "hi"
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

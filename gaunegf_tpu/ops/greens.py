@@ -79,8 +79,10 @@ def _gr_point(E, H, S, sigma, exec_cfg: ExecutionConfig):
     if exec_cfg.precision == "mixed" and A.dtype == jnp.complex64:
         return zl.zinv_refined(A, steps=exec_cfg.refine_steps,
                                bs=exec_cfg.lu_block,
-                               panel_impl=exec_cfg.lu_panel)
-    return zl.zinv(A, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel)
+                               panel_impl=exec_cfg.lu_panel,
+                               trail=exec_cfg.lu_trail)
+    return zl.zinv(A, bs=exec_cfg.lu_block, panel_impl=exec_cfg.lu_panel,
+                   trail=exec_cfg.lu_trail)
 
 
 def _assemble_A_dw(E_dw, H_dw, S_dw, sigma_dw):
@@ -241,7 +243,8 @@ def _gr_cols(E, H, S, sigma, cols, exec_cfg):
             X = X + zl.zsolve(A, R)
         return X
     factors = zl.zlu_factor(A, bs=exec_cfg.lu_block,
-                            panel_impl=exec_cfg.lu_panel)
+                            panel_impl=exec_cfg.lu_panel,
+                            trail=exec_cfg.lu_trail)
     X = zl.zlu_solve(factors, B)
     if mixed:
         R = B - zl.matmul_hp3(A, X)
@@ -365,7 +368,8 @@ def _solve_cols_sharded(A, B, n_shards, exec_cfg):
     else:
         solve = lambda b: zl.zsolve(A, b, method="blocked",
                                     bs=exec_cfg.lu_block,
-                                    panel_impl=exec_cfg.lu_panel)
+                                    panel_impl=exec_cfg.lu_panel,
+                                    trail=exec_cfg.lu_trail)
     Y = solve(B)
     if _mp_steps(exec_cfg, A.dtype):
         R = B - zl.matmul_hp3(A, Y)
@@ -1017,9 +1021,11 @@ def _make_chain_scan(sig_tot_fn, exec_cfg: ExecutionConfig, epilog=None):
         if mixed:
             return zl.zinv_refined(A, steps=exec_cfg.refine_steps,
                                    bs=exec_cfg.lu_block,
-                                   panel_impl=exec_cfg.lu_panel)
+                                   panel_impl=exec_cfg.lu_panel,
+                                   trail=exec_cfg.lu_trail)
         return zl.zinv(A, bs=exec_cfg.lu_block,
-                       panel_impl=exec_cfg.lu_panel)
+                       panel_impl=exec_cfg.lu_panel,
+                       trail=exec_cfg.lu_trail)
 
     def polish(A, X):
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
@@ -1165,9 +1171,11 @@ def _build_sum_engine_chain(sig_tot_fn, exec_cfg: ExecutionConfig,
         if mixed:
             return zl.zinv_refined(A, steps=exec_cfg.refine_steps,
                                    bs=exec_cfg.lu_block,
-                                   panel_impl=exec_cfg.lu_panel)
+                                   panel_impl=exec_cfg.lu_panel,
+                                   trail=exec_cfg.lu_trail)
         return zl.zinv(A, bs=exec_cfg.lu_block,
-                       panel_impl=exec_cfg.lu_panel)
+                       panel_impl=exec_cfg.lu_panel,
+                       trail=exec_cfg.lu_trail)
 
     def polish(A, X):
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)

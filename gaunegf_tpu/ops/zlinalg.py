@@ -61,6 +61,44 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_HI)
 
 
+def _mm_bf3_real(a, b):
+    """Real matmul from THREE one-pass bf16 products (~2^-15 relative):
+    the i+j<=1 slice terms of _matmul_res_bf16.  Bit-masked splits (see
+    _bf_trunc) so XLA cannot elide them."""
+    d = lambda x, y: jnp.matmul(x, y, precision=jax.lax.Precision.DEFAULT)
+    a1 = _bf_trunc(a)
+    b1 = _bf_trunc(b)
+    return d(a1, b1) + (d(a1, b - b1) + d(a - a1, b1))
+
+
+def _mm_trail(a, b, trail: str):
+    """Trailing-update / substitution matmul at the configured budget.
+
+    The blocked LU's FLOP bulk is the trailing updates and the
+    substitution products; the factorization only needs them to ~a few
+    * 2^-15 (the mixed tier's Newton polish squares the seed error, and
+    partial pivoting is insensitive to 1e-4-level perturbations -- the
+    round-2 pivot corruption came from ONE-pass bf16 at 2^-8, not from
+    split products).  Modes:
+      'hi'   -- f32 HIGHEST (6 MXU passes / real product; round-3 default)
+      'high' -- lax.Precision.HIGH (3 fused passes, same i+j<=1 algebra)
+      'bf3'  -- three explicit one-pass bf16 products (bit-masked splits)
+    Measured ladder on the tunnel chip at N=2048 (CLAUDE.md): DEFAULT
+    18.3 / HIGH 15.1 / HIGHEST 10.4 TFLOP/s."""
+    if trail == "hi" or a.dtype in (jnp.complex128, jnp.float64):
+        return _mm(a, b)
+    if trail == "high":
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
+    if trail != "bf3":
+        raise ValueError(f"unknown trail mode {trail!r}")
+    if jnp.iscomplexobj(a):
+        ar, ai = jnp.real(a), jnp.imag(a)
+        br, bi = jnp.real(b), jnp.imag(b)
+        return (_mm_bf3_real(ar, br) - _mm_bf3_real(ai, bi)) \
+            + 1j * (_mm_bf3_real(ar, bi) + _mm_bf3_real(ai, br))
+    return _mm_bf3_real(a, b)
+
+
 def _mm_corr(a, b):
     """Newton-correction product X @ R at one-pass-bf16 DEFAULT precision.
 
@@ -615,7 +653,8 @@ def _dispatch_panel(panel, panel_impl: str):
     return _factor_panel(panel, perm0)
 
 
-def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
+def _zsolve_single(A, B, bs: int, panel_impl: str = "split",
+                   trail: str = "hi"):
     """Solve A X = B for one (N, N) complex matrix, (N, k) RHS.
 
     Pure-dataflow right-looking LU fused with forward substitution: the
@@ -647,12 +686,13 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
         rest = work[:, bs:][perm, :]                # one permutation gather
         L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
         Linv = _tri_inv_fast(L11, lower=True, unit=True)
-        U12R = _mm(Linv, rest[:bs, :])
+        U12R = _mm_trail(Linv, rest[:bs, :], trail)
         u_diag.append(jnp.triu(panel[:bs, :]))
         u_rows.append(U12R)
         if kb < nb - 1:
             L21 = panel[bs:, :]
-            work = rest[bs:, :] - _mm(L21, U12R)    # shrunk trailing block
+            # shrunk trailing block (the LU's FLOP bulk -> trail budget)
+            work = rest[bs:, :] - _mm_trail(L21, U12R, trail)
 
     # backward substitution: X = U^-1 Y with batched diagonal inverses
     Uinv = _tri_inv_fast(jnp.stack(u_diag), lower=False, unit=False)
@@ -661,12 +701,13 @@ def _zsolve_single(A, B, bs: int, panel_impl: str = "split"):
         row = u_rows[ib]                            # (bs, rest_ib + k)
         acc = row[:, -k:]
         if X.shape[0] > 0:
-            acc = acc - _mm(row[:, :X.shape[0]], X)
+            acc = acc - _mm_trail(row[:, :X.shape[0]], X, trail)
         X = jnp.concatenate([_mm(Uinv[ib], acc), X], axis=0)
     return X[:N, :]
 
 
-def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
+def _zlu_factor_single(A, bs: int, panel_impl: str = "split",
+                       trail: str = "hi"):
     """Factor one (N, N) complex matrix into reusable blocked-LU pieces.
 
     Same right-looking panel sweep as _zsolve_single but WITHOUT a fused
@@ -690,7 +731,7 @@ def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
         rest = work[:, bs:][perm, :]
         L11 = jnp.tril(panel[:bs, :], -1) + jnp.eye(bs, dtype=A.dtype)
         Linv = _tri_inv_fast(L11, lower=True, unit=True)
-        U12 = _mm(Linv, rest[:bs, :])
+        U12 = _mm_trail(Linv, rest[:bs, :], trail)
         L21 = panel[bs:, :]
         perms.append(perm)
         linvs.append(Linv)
@@ -698,7 +739,7 @@ def _zlu_factor_single(A, bs: int, panel_impl: str = "split"):
         u_rows.append(U12)
         u_diag.append(jnp.triu(panel[:bs, :]))
         if kb < nb - 1:
-            work = rest[bs:, :] - _mm(L21, U12)
+            work = rest[bs:, :] - _mm_trail(L21, U12, trail)
     Uinv = _tri_inv_fast(jnp.stack(u_diag), lower=False, unit=False)
     return {"perms": tuple(perms), "linvs": tuple(linvs),
             "l21s": tuple(l21s), "u_rows": tuple(u_rows), "uinv": Uinv}
@@ -731,14 +772,15 @@ def _zlu_solve_single(data, B, N: int, bs: int):
     return X[:N, :]
 
 
-def zlu_factor(A, *, bs: int | None = None, panel_impl: str = "auto"):
+def zlu_factor(A, *, bs: int | None = None, panel_impl: str = "auto",
+               trail: str = "hi"):
     """Blocked-LU factorization with reusable factors (see
     _zlu_factor_single); batched over leading dims.  Returns
     {"data": array pytree (batched like A), "N", "bs"}."""
     N = A.shape[-1]
     bs = _pick_block(N, bs)
     panel_impl = _pick_panel(N, panel_impl)
-    fn = lambda a: _zlu_factor_single(a, bs, panel_impl)
+    fn = lambda a: _zlu_factor_single(a, bs, panel_impl, trail)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
     return {"data": fn(A), "N": N, "bs": bs}
@@ -754,21 +796,23 @@ def zlu_solve(factors, B):
     return fn(factors["data"], B)
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "panel_impl"))
-def _zsolve_batched(A, B, bs: int, panel_impl: str = "split"):
-    fn = lambda a, b: _zsolve_single(a, b, bs, panel_impl)
+@functools.partial(jax.jit, static_argnames=("bs", "panel_impl", "trail"))
+def _zsolve_batched(A, B, bs: int, panel_impl: str = "split",
+                    trail: str = "hi"):
+    fn = lambda a, b: _zsolve_single(a, b, bs, panel_impl, trail)
     for _ in range(A.ndim - 2):
         fn = jax.vmap(fn)
     return fn(A, B)
 
 
 def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
-           panel_impl: str = "auto"):
+           panel_impl: str = "auto", trail: str = "hi"):
     """Solve A X = B for batched complex A.
 
     method: None (auto), 'lapack' or 'blocked'.
     Auto picks LAPACK on CPU/GPU and the blocked MXU kernel on TPU.
     panel_impl: 'xla' (fused fori loop) or 'pallas' (VMEM-resident kernel).
+    trail: trailing-update matmul budget (see _mm_trail).
     """
     if method is None:
         method = "lapack" if supports_lapack_complex() else "blocked"
@@ -776,15 +820,16 @@ def zsolve(A, B, *, method: str | None = None, bs: int | None = None,
         return jnp.linalg.solve(A, B)
     bs = _pick_block(A.shape[-1], bs)
     panel_impl = _pick_panel(A.shape[-1], panel_impl)
-    return _zsolve_batched(A, B, bs, panel_impl)
+    return _zsolve_batched(A, B, bs, panel_impl, trail)
 
 
 def zinv(A, *, method: str | None = None, bs: int | None = None,
-         panel_impl: str = "auto"):
+         panel_impl: str = "auto", trail: str = "hi"):
     """Batched complex inverse (reference utils.py:52-54 ``inv``)."""
     N = A.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(N, dtype=A.dtype), A.shape)
-    return zsolve(A, eye, method=method, bs=bs, panel_impl=panel_impl)
+    return zsolve(A, eye, method=method, bs=bs, panel_impl=panel_impl,
+                  trail=trail)
 
 
 # ---------------------------------------------------------------------------
@@ -1169,13 +1214,14 @@ def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
 
 
 def zinv_refined(A, *, steps: int = 2, method: str | None = None,
-                 bs: int | None = None, panel_impl: str = "auto"):
+                 bs: int | None = None, panel_impl: str = "auto",
+                 trail: str = "hi"):
     """Inverse with Newton refinement: X <- X + X (I - A X).
 
     Residual I - A X is evaluated with double-float matmuls, so each step
     roughly squares the error until the residual precision (~1e-10) is hit.
     """
-    X = zinv(A, method=method, bs=bs, panel_impl=panel_impl)
+    X = zinv(A, method=method, bs=bs, panel_impl=panel_impl, trail=trail)
     N = A.shape[-1]
     eye = jnp.eye(N, dtype=A.dtype)
     for _ in range(steps):

@@ -269,3 +269,75 @@ def test_blocked_solve_under_shard_map(rng, monkeypatch):
                            mesh=mesh)
         Tc = eng.transmission(E)
         assert np.isfinite(Tc).all() and Tc.max() > 0.1
+
+
+@pytest.mark.parametrize("trail", ["high", "bf3"])
+def test_zsolve_trail_budget_modes(rng, trail):
+    """Trailing-update budget modes ('high'/'bf3', see _mm_trail) keep the
+    blocked solve within the mixed tier's seed quality: the LU FLOP bulk
+    runs at ~2^-15 per product, which partial pivoting tolerates and the
+    Newton polish absorbs."""
+    N, k = 96, 32
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.3 + 0.1j) * np.eye(N)).astype(np.complex64)
+    B = (rng.standard_normal((N, k))
+         + 1j * rng.standard_normal((N, k))).astype(np.complex64)
+    X = zl.zsolve(A, B, method="blocked", bs=16, trail=trail)
+    X_ref = np.linalg.solve(A.astype(np.complex128),
+                            B.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-4, err
+
+
+@pytest.mark.parametrize("trail", ["high", "bf3"])
+def test_zinv_refined_trail_recovers_accuracy(rng, trail):
+    """Newton refinement on top of a budget-trail LU seed reaches the
+    mixed tier's accuracy floor."""
+    N = 80
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.25 + 0.1j) * np.eye(N)).astype(np.complex64)
+    X = zl.zinv_refined(A, steps=2, method="blocked", bs=16, trail=trail)
+    X_ref = np.linalg.inv(A.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-6, err
+
+
+def test_zlu_factor_trail_solve(rng):
+    N, k = 64, 8
+    A = (rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    A = (A + N * (0.3 + 0.1j) * np.eye(N)).astype(np.complex64)
+    B = (rng.standard_normal((N, k))
+         + 1j * rng.standard_normal((N, k))).astype(np.complex64)
+    fac = zl.zlu_factor(A, bs=16, trail="bf3")
+    X = zl.zlu_solve(fac, B)
+    X_ref = np.linalg.solve(A.astype(np.complex128),
+                            B.astype(np.complex128))
+    err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
+    assert err < 5e-4, err
+
+
+def test_engine_lu_trail_config(rng, monkeypatch):
+    """ExecutionConfig.lu_trail threads to the engine's BLOCKED path
+    (LAPACK auto-pick disabled, as on TPU): gr_sum with 'bf3' matches the
+    default-trail result within the mixed tier tolerance."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.ops.greens import EnergyEngine
+
+    monkeypatch.setattr(zl, "supports_lapack_complex", lambda: False)
+    N = 48
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1)) \
+        + np.diag(0.2 * rng.standard_normal(N))
+    S = np.eye(N)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(N - 4, N)],
+                           sig1=-0.1j)
+    E = np.linspace(-1, 1, 8) + 0.05j
+    w = np.ones(8)
+    base = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, lu_block=16),
+        mesh=None).gr_sum(E, w)
+    bf3 = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, lu_block=16, lu_trail="bf3"),
+        mesh=None).gr_sum(E, w)
+    scale = np.abs(base).max()
+    assert np.abs(bf3 - base).max() / scale < 1e-5
