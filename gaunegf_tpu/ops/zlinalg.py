@@ -83,12 +83,27 @@ def _mm_trail(a, b, trail: str):
       'hi'   -- f32 HIGHEST (6 MXU passes / real product; round-3 default)
       'high' -- lax.Precision.HIGH (3 fused passes, same i+j<=1 algebra)
       'bf3'  -- three explicit one-pass bf16 products (bit-masked splits)
+      'kar'  -- 3-multiply Karatsuba complex product at HIGHEST (25%
+                fewer real products than the naive 4-product lowering;
+                the ~1-digit cancellation loss is far above this floor)
+      'kar_high' -- Karatsuba at HIGH (3 products x 3 passes = 9 bf16
+                passes vs the naive HIGHEST 24)
     Measured ladder on the tunnel chip at N=2048 (CLAUDE.md): DEFAULT
     18.3 / HIGH 15.1 / HIGHEST 10.4 TFLOP/s."""
     if trail == "hi" or a.dtype in (jnp.complex128, jnp.float64):
         return _mm(a, b)
     if trail == "high":
         return jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
+    if trail in ("kar", "kar_high"):
+        prec = _HI if trail == "kar" else jax.lax.Precision.HIGH
+        if not jnp.iscomplexobj(a):
+            return jnp.matmul(a, b, precision=prec)
+        ar, ai = jnp.real(a), jnp.imag(a)
+        br, bi = jnp.real(b), jnp.imag(b)
+        p1 = jnp.matmul(ar, br, precision=prec)
+        p2 = jnp.matmul(ai, bi, precision=prec)
+        p3 = jnp.matmul(ar + ai, br + bi, precision=prec)
+        return (p1 - p2) + 1j * (p3 - (p1 + p2))
     if trail != "bf3":
         raise ValueError(f"unknown trail mode {trail!r}")
     if jnp.iscomplexobj(a):

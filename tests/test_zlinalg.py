@@ -271,7 +271,7 @@ def test_blocked_solve_under_shard_map(rng, monkeypatch):
         assert np.isfinite(Tc).all() and Tc.max() > 0.1
 
 
-@pytest.mark.parametrize("trail", ["high", "bf3"])
+@pytest.mark.parametrize("trail", ["high", "bf3", "kar", "kar_high"])
 def test_zsolve_trail_budget_modes(rng, trail):
     """Trailing-update budget modes ('high'/'bf3', see _mm_trail) keep the
     blocked solve within the mixed tier's seed quality: the LU FLOP bulk
@@ -289,7 +289,7 @@ def test_zsolve_trail_budget_modes(rng, trail):
     assert err < 5e-4, err
 
 
-@pytest.mark.parametrize("trail", ["high", "bf3"])
+@pytest.mark.parametrize("trail", ["high", "bf3", "kar", "kar_high"])
 def test_zinv_refined_trail_recovers_accuracy(rng, trail):
     """Newton refinement on top of a budget-trail LU seed reaches the
     mixed tier's accuracy floor."""
