@@ -30,10 +30,11 @@ CPU_BASELINE_PTS_PER_SEC = 5.0
 
 # North-star accounting (BASELINE.json: ">=10x a 64-core CPU at N=2000").
 # No 64-core box exists in this environment, so the denominator is modeled
-# UP, i.e. conservatively against us: 5.0 pts/s measured at N=1000 on one
-# core, /8 for the N^3 step to N=2000 (measured locally: 8.3x), x30 for
-# 64-core LAPACK zgesv scaling (typical published range is 20-30x; we take
-# the top).  See BASELINE.md "north-star accounting" for the derivation.
+# UP, i.e. conservatively against us: measured single-core complex128
+# LAPACK at N=2000 on this host = 0.623 pts/s (round 4; N=1000 measured
+# 4.3-5.0), x30 for 64-core zgesv parallel scaling (typical published
+# range is 20-30x; we take the top).  See BASELINE.md "north-star
+# accounting" for the derivation.
 CPU_64CORE_N2000_EST = 18.8
 
 # Cross-session anchors (VERDICT r2 item 6): chip/tunnel throughput drifts
