@@ -141,6 +141,46 @@ def _median_rate(fn, n_points, repeats):
     return float(np.median(rates))
 
 
+class _stage:
+    """Flushed progress + watchdog: a tunnel wedge mid-bench otherwise
+    hangs silently past the driver's timeout with an empty tail (the
+    MULTICHIP_r03 failure mode).  SIGALRM can only fire between native
+    calls, but dispatch through the tunnel returns to Python regularly
+    enough in practice; the progress line alone makes a hard hang
+    diagnosable."""
+
+    def __init__(self, name, limit=2400):
+        self.name, self.limit = name, limit
+
+    def __enter__(self):
+        import signal
+        print(f"# stage: {self.name} (limit {self.limit}s)",
+              file=sys.stderr, flush=True)
+        self.t0 = time.time()
+
+        def _alarm(signum, frame):
+            raise TimeoutError(
+                f"stage '{self.name}' exceeded {self.limit}s")
+        try:
+            self.old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(self.limit)
+        except ValueError:
+            self.old = None
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import signal
+        if self.old is not None:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, self.old)
+        if exc_type is TimeoutError:
+            print(f"# FATAL: {exc} -- aborting bench", file=sys.stderr,
+                  flush=True)
+            sys.exit(2)
+        print(f"# stage done: {self.name} ({time.time() - self.t0:.0f}s)",
+              file=sys.stderr, flush=True)
+
+
 def main():
     _prep_backend()
     from gaunegf_tpu.config import ExecutionConfig
@@ -164,7 +204,8 @@ def main():
         precision="mixed", energy_chunk=64))
     E = np.linspace(-2.0, 2.0, n_E)
     w = np.ones(n_E)
-    pts_1000 = _median_rate(lambda: eng.gr_sum(E, w), n_E, repeats=5)
+    with _stage("N=1000 mixed gr_sum"):
+        pts_1000 = _median_rate(lambda: eng.gr_sum(E, w), n_E, repeats=5)
 
     # --- extra 1: N=2000 (the north-star junction size) ----------------
     N2, n_E2 = 2000, 128
@@ -172,22 +213,27 @@ def main():
     eng2 = EnergyEngine(H2, S2, g2, ExecutionConfig(
         precision="mixed", energy_chunk=16))
     E2 = np.linspace(-2.0, 2.0, n_E2)
-    pts_2000 = _median_rate(lambda: eng2.gr_sum(E2, np.ones(n_E2)),
-                            n_E2, repeats=5)
+    with _stage("N=2000 mixed gr_sum"):
+        pts_2000 = _median_rate(lambda: eng2.gr_sum(E2, np.ones(n_E2)),
+                                n_E2, repeats=5)
 
     # --- extra 2: N=2000 production density path (device-side Im epilog:
     # the transfer is half of extra 1's -- this is what SCF actually runs)
-    pts_2000_im = _median_rate(
-        lambda: eng2.gr_sum(E2, np.ones(n_E2), epilog="im"),
-        n_E2, repeats=3)
+    with _stage("N=2000 mixed gr_sum, Im epilog"):
+        pts_2000_im = _median_rate(
+            lambda: eng2.gr_sum(E2, np.ones(n_E2), epilog="im"),
+            n_E2, repeats=3)
 
     # --- extra 3: low-rank T(E) sweep on the N=1000 junction -----------
-    pts_trans = _median_rate(lambda: eng.transmission(E), n_E, repeats=3)
+    with _stage("N=1000 low-rank T(E)"):
+        pts_trans = _median_rate(lambda: eng.transmission(E), n_E,
+                                 repeats=3)
 
     # --- anchors: separate session variance from code regressions ------
-    anchor_mm = _measure_anchor_matmul()
-    anchor_solve = _measure_anchor_solve(EnergyEngine, ExecutionConfig,
-                                         system)
+    with _stage("anchors"):
+        anchor_mm = _measure_anchor_matmul()
+        anchor_solve = _measure_anchor_solve(EnergyEngine, ExecutionConfig,
+                                             system)
     # Normalize by the MATMUL anchor only: it is code-independent (raw
     # jnp.matmul), so its ratio isolates session/tunnel variance.  The
     # solve anchor goes through EnergyEngine and therefore moves with
