@@ -84,6 +84,48 @@ def _measure_anchor_solve(EnergyEngine, ExecutionConfig, system):
     return _median_rate(lambda: eng.gr_sum(E, w), 128, repeats=3)
 
 
+def _subprocess_health_probe(timeout=600, attempts=2, spacing=120):
+    """Probe TPU health in a SUBPROCESS before the parent touches JAX.
+
+    The round-3/4 outage mode is an UNINTERRUPTIBLE hang inside the axon
+    plugin's device-client creation: SIGALRM never fires (the hang is in
+    native init, before any Python bytecode runs again), so an in-process
+    guard cannot convert the hang into a fast failure -- the driver would
+    record a silent timeout instead of rc=2.  A subprocess with a kill
+    timeout is immune.  On repeated failure, exit 2 with a diagnosis."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "x = jnp.ones((128,128), jnp.float32)\n"
+        "assert np.asarray(x @ x)[0,0] == 128.0\n"
+        "print('HEALTHY', jax.devices()[0], flush=True)\n")
+    for i in range(attempts):
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            if "HEALTHY" in r.stdout:
+                print(f"# subprocess health probe OK "
+                      f"({time.time() - t0:.1f}s): "
+                      f"{r.stdout.strip()}", file=sys.stderr, flush=True)
+                return
+            print(f"# health probe attempt {i + 1}/{attempts} failed "
+                  f"(rc={r.returncode}): {r.stderr.strip()[-400:]}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# health probe attempt {i + 1}/{attempts} timed out "
+                  f"after {timeout}s (tunnel wedged in plugin init)",
+                  file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(spacing)
+    print("# FATAL: TPU tunnel unhealthy after "
+          f"{attempts} subprocess probes -- aborting bench",
+          file=sys.stderr, flush=True)
+    sys.exit(2)
+
+
 def _prep_backend():
     """Persistent compile cache (first compiles are minutes through the
     remote compiler; reruns should not repay them) + a tiny health check
@@ -93,6 +135,7 @@ def _prep_backend():
     (observed round 3: multi-hour service outage where even a 128x128
     matmul never returned), and the driver would record a silent hang
     instead of an actionable error."""
+    _subprocess_health_probe()
     import signal
     import jax
     import jax.numpy as jnp

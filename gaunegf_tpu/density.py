@@ -42,18 +42,76 @@ def integrate_points(compute_point_func, num_points, parallel=False,
     """Sum compute_point_func(i) over i (integratePoints parity,
     density.py:121-210).
 
-    The reference dispatches to a host multiprocessing.Pool for >=100
-    points on >=32-core SLURM nodes; on TPU the device mesh replaces
-    process-level parallelism entirely (SURVEY.md section 2.2), so this shim always
-    evaluates serially on the host and exists for API compatibility --
-    batched device execution should go through ops.greens engines instead.
+    On TPU the device mesh replaces host process-level parallelism
+    entirely (SURVEY.md section 2.2) -- batched device execution should go
+    through ops.greens engines, which vmap/shard the grid.  For CPU-only
+    users of host-side point functions, however, this keeps the
+    reference's process-pool fallback: same gating (explicit
+    ``parallel=True`` AND >=100 points AND >=32 cores, honoring
+    SLURM_CPUS_ON_NODE), chunked index ranges summed per worker, and a
+    serial fallback when the point function cannot cross a process
+    boundary (e.g. closures over unpicklable state, or JAX arrays that
+    must not be shipped between processes).
     """
+    import os
+
+    num_points = int(num_points)
+    num_cores = int(os.environ.get("SLURM_CPUS_ON_NODE",
+                                   os.cpu_count() or 1))
     if debug:
         print(f"Number of points to integrate: {num_points}")
-    result = np.zeros_like(compute_point_func(0))
-    for i in range(int(num_points)):
-        result = result + compute_point_func(i)
-    return result
+        print(f"Number of CPU cores: {num_cores}")
+
+    use_pool = parallel and num_points >= 100 and num_cores >= 32
+
+    if not use_pool:
+        result = np.zeros_like(compute_point_func(0))
+        for i in range(num_points):
+            result = result + compute_point_func(i)
+        return result
+
+    if num_workers is None:
+        num_workers = max(1, num_cores // 16)
+    if chunk_size is None:
+        chunk_size = max(1, min(num_points // (num_workers * 4), 100))
+    if debug:
+        print(f"Workers: {num_workers}, Chunk size: {chunk_size}")
+
+    chunks = [range(i, min(i + chunk_size, num_points))
+              for i in range(0, num_points, chunk_size)]
+
+    global _POOL_POINT_FN
+    try:
+        import multiprocessing as mp
+        # Pool.map pickles its callable even under fork, so a closure (or
+        # the user's arbitrary point function) cannot be the map target.
+        # Instead the point function is stashed in a module global that
+        # fork-started workers inherit by memory, and the map target is
+        # the picklable module-level _pool_chunk_sum.  (The reference's
+        # own nested process_chunk hits exactly this pickle failure and
+        # silently serializes -- reference density.py:195-210.)
+        ctx = mp.get_context("fork") if "fork" in mp.get_all_start_methods() \
+            else mp.get_context()
+        _POOL_POINT_FN = compute_point_func
+        with ctx.Pool(num_workers) as pool:
+            results = pool.map(_pool_chunk_sum, chunks)
+        return sum(results)
+    except Exception as e:                       # unpicklable / pool failure
+        if debug:
+            print(f"Process pool failed ({e!r}); falling back to serial")
+        return sum(sum(compute_point_func(i) for i in chunk)
+                   for chunk in chunks)
+    finally:
+        _POOL_POINT_FN = None
+
+
+_POOL_POINT_FN = None
+
+
+def _pool_chunk_sum(points):
+    """Module-level pool worker: sums the fork-inherited point function
+    over one chunk of indices (picklable map target for integrate_points)."""
+    return sum(_POOL_POINT_FN(i) for i in points)
 
 _DEFAULT_EXEC = ExecutionConfig()
 

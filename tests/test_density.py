@@ -224,3 +224,51 @@ def test_density_eq_split_continuation_sharded(rng):
     P0 = dens.density_eq_n(H, S, g, exec_cfg=cfg, **kw)
     P1 = dens.density_eq_n(H, S, g, exec_cfg=cfg, mesh=energy_mesh(), **kw)
     np.testing.assert_allclose(P1, P0, rtol=0, atol=1e-8)
+
+
+def test_integrate_points_serial_matches_direct():
+    from gaunegf_tpu import density as dens
+
+    pts = [np.full((3, 3), float(i)) for i in range(12)]
+    out = dens.integrate_points(lambda i: pts[i], 12)
+    np.testing.assert_allclose(out, sum(pts))
+
+
+def test_integrate_points_process_pool(monkeypatch):
+    """The host process-pool path (integratePoints parity,
+    reference density.py:121-210): forced on via the reference's gating
+    (parallel=True, >=100 points, >=32 cores), result identical to
+    serial."""
+    from gaunegf_tpu import density as dens
+
+    monkeypatch.setenv("SLURM_CPUS_ON_NODE", "32")
+    n = 128
+
+    def point(i):
+        return np.full((4, 4), float(i + 1))
+
+    expected = sum(point(i) for i in range(n))
+    out = dens.integrate_points(point, n, parallel=True, num_workers=2,
+                                chunk_size=16, debug=True)
+    np.testing.assert_allclose(out, expected)
+
+
+def test_integrate_points_pool_fallback(monkeypatch):
+    """A point function the pool cannot handle falls back to serial
+    (reference's try/except parity) instead of raising."""
+    from gaunegf_tpu import density as dens
+    import multiprocessing as mp
+
+    monkeypatch.setenv("SLURM_CPUS_ON_NODE", "32")
+
+    def boom(*a, **k):
+        raise OSError("no pool for you")
+
+    class Ctx:
+        Pool = staticmethod(boom)
+
+    monkeypatch.setattr(mp, "get_context", lambda *a, **k: Ctx())
+    n = 120
+    out = dens.integrate_points(lambda i: np.array([float(i)]), n,
+                                parallel=True)
+    np.testing.assert_allclose(out, [sum(range(n))])
