@@ -580,9 +580,13 @@ class _HashableArray:
 @lru_cache(maxsize=None)
 def _bethe_contact_fn(static_key, Xi_h, i: int):
     inds, nind, N, spin, orthogonal = static_key
-    Xi = jnp.asarray(Xi_h.arr)
 
     def fn(params, E):
+        # Constants must be materialized INSIDE fn: the closure is
+        # lru-cached, and a jnp array created at build time while another
+        # trace is active (e.g. first built inside a warm-engine scan)
+        # would be a tracer leaking into every later trace (jax >= 0.9).
+        Xi = jnp.asarray(Xi_h.arr)
         p = params["contacts"][i]
         sig_surf = bethe_sigma_surface(E, p["H"], p["S"], p["V"], p["eta"])
         sig = jnp.zeros((N, N), dtype=sig_surf.dtype)
@@ -621,9 +625,10 @@ def _bethe_total_fn(static_key, Xi_h):
 def _bethe_embed_fn(static_key, Xi_h, i: int):
     """Embedding of precomputed surface sigmas into the device matrix."""
     inds, nind, N, spin, orthogonal = static_key
-    Xi = jnp.asarray(Xi_h.arr)
 
     def fn(sig_surf):
+        # see _bethe_contact_fn: never create jnp constants at build time
+        Xi = jnp.asarray(Xi_h.arr)
         sig = jnp.zeros((N, N), dtype=sig_surf.dtype)
         for n_inds, f_inds in zip(nind[i], inds[i]):
             sig_atom = jnp.sum(sig_surf[:9], axis=0)

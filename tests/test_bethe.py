@@ -256,3 +256,34 @@ def test_warm_start_density_matches_cold():
                                      energy_chunk=4, warm_start=True),
                                  mesh=energy_mesh())
     assert np.max(np.abs(Pw8 - Pw)) < 1e-5
+
+
+def test_embed_fn_built_under_trace_reusable_across_traces():
+    """jax >= 0.9 regression: the lru-cached embed closure must not capture
+    jnp constants created at BUILD time -- if the closure is first built
+    inside an active trace (the warm k-space transmission scan does this),
+    a build-time constant is a tracer and leaks into every later trace
+    (UnexpectedTracerError on the second same-key provider)."""
+    import jax
+    import jax.numpy as jnp
+
+    bt._bethe_embed_fn.cache_clear()
+    key = (((tuple(range(9)),),),     # inds[contact 0][atom 0] = orbs 0-8
+           (((0, 1),),),              # nind: subtract directions 0, 1
+           9, "r", True)              # N=9, restricted, orthogonal (Xi@..@Xi)
+    Xi_h = bt._HashableArray(np.eye(9))
+    sig_surf = jnp.asarray(
+        np.random.default_rng(0).standard_normal((9, 9, 9))
+        + 1j * np.random.default_rng(1).standard_normal((9, 9, 9)))
+
+    @jax.jit
+    def first(x):                     # closure built DURING this trace
+        return bt._bethe_embed_fn(key, Xi_h, 0)(x)
+
+    @jax.jit
+    def second(x):                    # same cached closure, new trace
+        return 2.0 * bt._bethe_embed_fn(key, Xi_h, 0)(x)
+
+    a = np.asarray(first(sig_surf))
+    b = np.asarray(second(sig_surf))
+    assert np.allclose(b, 2.0 * a)
