@@ -1,0 +1,23 @@
+"""gauNEGF.scfE parity: the energy-dependent SCF driver.
+
+NEGFE (scfE.py:63-479) inherits the reference NEGF constructor; the
+method surface (setContactBethe/setContact1D/setSigma/setVoltage/
+setIntegralLimits/integralCheck/FockToP/PToFock) carries the reference
+names on the TPU class already.
+"""
+
+from gaunegf_tpu.config import PULAY_MIXING_SIZE
+from gaunegf_tpu.models.fock import GaussianFock
+from gaunegf_tpu.scfe import NEGFE as _NEGFE
+
+
+class NEGFE(_NEGFE):
+    """scfE.NEGFE with the reference's constructor signature."""
+
+    def __init__(self, fn, basis="chkbasis", func="hf", spin="r",
+                 fullSCF=True, route=None, section=None,
+                 nPulay=PULAY_MIXING_SIZE, **kw):
+        backend = GaussianFock(fn, basis=basis, func=func, spin=spin,
+                               route=route, section=section,
+                               full_scf=fullSCF)
+        super().__init__(backend, spin=spin, name=fn, n_pulay=nPulay, **kw)
