@@ -8,10 +8,6 @@ density (reference API surface: surfG1D.py / transport.py / density.py).
 Run:  python examples/reference_migration.py
 """
 
-import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import numpy as np
 
 import gaunegf_tpu.compat as compat

@@ -44,8 +44,8 @@ def integratePointsAdaptiveANT(computePoint, tol=ADAPTIVE_INTEGRATION_TOL,
                                maxN=MAX_GRID_POINTS, debug=False):
     """Nested-adaptive ANT integration with node reuse
     (density.py:211-273); computePoint(x, w) -> weighted partial sum."""
-    return _q.AdaptiveANT(tol=tol, max_n=maxN,
-                          verbose=True).integrate(computePoint)
+    return _q.AdaptiveANT(tol=tol, max_n=maxN, verbose=True,
+                          debug=debug).integrate(computePoint)
 
 
 def density(V, Vc, D, Gam, Emin, mu):

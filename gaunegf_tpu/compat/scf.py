@@ -13,13 +13,19 @@ from gaunegf_tpu.models.fock import GaussianFock
 from gaunegf_tpu.scf import NEGF as _NEGF
 
 
+def _gaussian_backend(fn, basis, func, spin, route, section, fullSCF):
+    """Shared reference-signature -> GaussianFock translation (used by
+    compat.scf.NEGF and compat.scfE.NEGFE)."""
+    return GaussianFock(fn, basis=basis, func=func, spin=spin, route=route,
+                        section=section, full_scf=fullSCF)
+
+
 class NEGF(_NEGF):
     """scf.NEGF with the reference's constructor signature."""
 
     def __init__(self, fn, basis="chkbasis", func="hf", spin="r",
                  fullSCF=True, route=None, section=None,
                  nPulay=PULAY_MIXING_SIZE, **kw):
-        backend = GaussianFock(fn, basis=basis, func=func, spin=spin,
-                               route=route, section=section,
-                               full_scf=fullSCF)
+        backend = _gaussian_backend(fn, basis, func, spin, route, section,
+                                    fullSCF)
         super().__init__(backend, spin=spin, name=fn, n_pulay=nPulay, **kw)

@@ -7,7 +7,7 @@ names on the TPU class already.
 """
 
 from gaunegf_tpu.config import PULAY_MIXING_SIZE
-from gaunegf_tpu.models.fock import GaussianFock
+from gaunegf_tpu.compat.scf import _gaussian_backend
 from gaunegf_tpu.scfe import NEGFE as _NEGFE
 
 
@@ -17,7 +17,6 @@ class NEGFE(_NEGFE):
     def __init__(self, fn, basis="chkbasis", func="hf", spin="r",
                  fullSCF=True, route=None, section=None,
                  nPulay=PULAY_MIXING_SIZE, **kw):
-        backend = GaussianFock(fn, basis=basis, func=func, spin=spin,
-                               route=route, section=section,
-                               full_scf=fullSCF)
+        backend = _gaussian_backend(fn, basis, func, spin, route, section,
+                                    fullSCF)
         super().__init__(backend, spin=spin, name=fn, n_pulay=nPulay, **kw)

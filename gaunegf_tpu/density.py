@@ -45,13 +45,16 @@ def integrate_points(compute_point_func, num_points, parallel=False,
     On TPU the device mesh replaces host process-level parallelism
     entirely (SURVEY.md section 2.2) -- batched device execution should go
     through ops.greens engines, which vmap/shard the grid.  For CPU-only
-    users of host-side point functions, however, this keeps the
-    reference's process-pool fallback: same gating (explicit
-    ``parallel=True`` AND >=100 points AND >=32 cores, honoring
-    SLURM_CPUS_ON_NODE), chunked index ranges summed per worker, and a
-    serial fallback when the point function cannot cross a process
-    boundary (e.g. closures over unpicklable state, or JAX arrays that
-    must not be shipped between processes).
+    users of host-side point functions, this keeps the reference's
+    parallel fallback with the same gating (explicit ``parallel=True``
+    AND >=100 points AND >=32 cores, honoring SLURM_CPUS_ON_NODE) and
+    chunked index ranges summed per worker, but runs the chunks on a
+    THREAD pool rather than the reference's process pool: forking a
+    JAX-initialized (multithreaded) process can deadlock a child inside a
+    held runtime lock, and point functions spend their time in XLA/BLAS
+    calls that release the GIL, so threads deliver the parallelism
+    without the fork hazard or pickling limits (deviation noted in
+    PARITY.md; reference density.py:121-210).
     """
     import os
 
@@ -80,38 +83,20 @@ def integrate_points(compute_point_func, num_points, parallel=False,
     chunks = [range(i, min(i + chunk_size, num_points))
               for i in range(0, num_points, chunk_size)]
 
-    global _POOL_POINT_FN
     try:
-        import multiprocessing as mp
-        # Pool.map pickles its callable even under fork, so a closure (or
-        # the user's arbitrary point function) cannot be the map target.
-        # Instead the point function is stashed in a module global that
-        # fork-started workers inherit by memory, and the map target is
-        # the picklable module-level _pool_chunk_sum.  (The reference's
-        # own nested process_chunk hits exactly this pickle failure and
-        # silently serializes -- reference density.py:195-210.)
-        ctx = mp.get_context("fork") if "fork" in mp.get_all_start_methods() \
-            else mp.get_context()
-        _POOL_POINT_FN = compute_point_func
-        with ctx.Pool(num_workers) as pool:
-            results = pool.map(_pool_chunk_sum, chunks)
+        from multiprocessing.pool import ThreadPool
+
+        def chunk_sum(points):
+            return sum(compute_point_func(i) for i in points)
+
+        with ThreadPool(num_workers) as pool:
+            results = pool.map(chunk_sum, chunks)
         return sum(results)
-    except Exception as e:                       # unpicklable / pool failure
+    except Exception as e:                       # pool creation failure
         if debug:
-            print(f"Process pool failed ({e!r}); falling back to serial")
+            print(f"Thread pool failed ({e!r}); falling back to serial")
         return sum(sum(compute_point_func(i) for i in chunk)
                    for chunk in chunks)
-    finally:
-        _POOL_POINT_FN = None
-
-
-_POOL_POINT_FN = None
-
-
-def _pool_chunk_sum(points):
-    """Module-level pool worker: sums the fork-inherited point function
-    over one chunk of indices (picklable map target for integrate_points)."""
-    return sum(_POOL_POINT_FN(i) for i in points)
 
 _DEFAULT_EXEC = ExecutionConfig()
 

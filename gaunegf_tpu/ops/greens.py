@@ -301,7 +301,8 @@ def _point_gr_weighted_cols(E, w, H, S, params, sig_tot_fn, n_shards,
     X = zl.zinv_refined_cols(A, n_shards, steps=steps, axis_name=MODEL_AXIS,
                              bs=exec_cfg.lu_block,
                              panel_impl=exec_cfg.lu_panel,
-                             distribute_lu=exec_cfg.distribute_lu)
+                             distribute_lu=exec_cfg.distribute_lu,
+                             trail=exec_cfg.lu_trail)
     return (w * X).astype(H.dtype)
 
 
@@ -333,7 +334,8 @@ def _point_gless_weighted_full_cols(E, w, H, S, params, sig_tot_fn,
     X = zl.zinv_refined_cols(A, n_shards, steps=_mp_steps(exec_cfg, A.dtype),
                              axis_name=MODEL_AXIS, bs=exec_cfg.lu_block,
                              panel_impl=exec_cfg.lu_panel,
-                             distribute_lu=exec_cfg.distribute_lu)
+                             distribute_lu=exec_cfg.distribute_lu,
+                             trail=exec_cfg.lu_trail)
     Gr = lax.all_gather(X, MODEL_AXIS, axis=1, tiled=True)       # (N, N)
     gamma = (1j * (sig_c - jnp.conj(sig_c).T)).astype(H.dtype)
     rows_r = lax.dynamic_slice(Gr, (rank * wq, 0 * rank), (wq, N))
@@ -364,7 +366,8 @@ def _solve_cols_sharded(A, B, n_shards, exec_cfg):
         solve = lambda b: zl.zsolve_dist(A, b, n_shards,
                                          axis_name=MODEL_AXIS,
                                          bs=exec_cfg.lu_block,
-                                         panel_impl=exec_cfg.lu_panel)
+                                         panel_impl=exec_cfg.lu_panel,
+                                         trail=exec_cfg.lu_trail)
     else:
         solve = lambda b: zl.zsolve(A, b, method="blocked",
                                     bs=exec_cfg.lu_block,
@@ -440,7 +443,8 @@ def _point_transmission_full_cols(E, H, S, params, sig_tot_fn, g1_fn,
     X = zl.zinv_refined_cols(A, n_shards, steps=_mp_steps(exec_cfg, A.dtype),
                              axis_name=MODEL_AXIS, bs=exec_cfg.lu_block,
                              panel_impl=exec_cfg.lu_panel,
-                             distribute_lu=exec_cfg.distribute_lu)
+                             distribute_lu=exec_cfg.distribute_lu,
+                             trail=exec_cfg.lu_trail)
     Gr = lax.all_gather(X, MODEL_AXIS, axis=1, tiled=True)
     s1 = g1_fn(params, E)
     s2 = g2_fn(params, E)

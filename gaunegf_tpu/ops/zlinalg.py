@@ -1250,7 +1250,8 @@ def zinv_refined(A, *, steps: int = 2, method: str | None = None,
 
 def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
                       axis_name: str = "m", bs: int | None = None,
-                      panel_impl: str = "auto", distribute_lu: bool = False):
+                      panel_impl: str = "auto", distribute_lu: bool = False,
+                      trail: str = "hi"):
     """Column-sharded refined inverse for the model ('m') mesh axis.
 
     Must run inside shard_map over ``axis_name`` with ``n_shards`` ranks.
@@ -1277,10 +1278,10 @@ def zinv_refined_cols(A, n_shards: int, *, steps: int = 2,
     I_cols = (rows == cols + rank * w).astype(A.dtype)
     if distribute_lu:
         X = zsolve_dist(A, I_cols, n_shards, axis_name=axis_name, bs=bs,
-                        panel_impl=panel_impl)
+                        panel_impl=panel_impl, trail=trail)
     else:
         X = zsolve(A, I_cols, method="blocked", bs=bs,
-                   panel_impl=panel_impl)
+                   panel_impl=panel_impl, trail=trail)
     for _ in range(steps):
         R = I_cols - matmul_hp3(A, X)
         rmax = lax.pmax(jnp.max(jnp.abs(R)), axis_name)
@@ -1349,7 +1350,8 @@ def zinv_dw_cols(A_hi, A_lo, n_shards: int, *, steps: int = 2,
 
 
 def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
-                bs: int | None = None, panel_impl: str = "auto"):
+                bs: int | None = None, panel_impl: str = "auto",
+                trail: str = "hi"):
     """Distributed blocked solve over the model axis: the O(N^3) trailing
     updates shard across ranks; panels stay serial (the ScaLAPACK
     right-looking shape).  Must run inside shard_map over ``axis_name``.
@@ -1422,18 +1424,20 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
 
         # RHS forward substitution (local columns, every panel)
         restB = workB[r0:, :][perm, :]
-        U12B = _mm(Linv, restB[:bs, :])
+        U12B = _mm_trail(Linv, restB[:bs, :], trail)
         workB = jnp.concatenate(
-            [workB[:r0, :], U12B, restB[bs:, :] - _mm(L21, U12B)], axis=0)
+            [workB[:r0, :], U12B,
+             restB[bs:, :] - _mm_trail(L21, U12B, trail)], axis=0)
 
         if kb == nb - 1:        # no trailing columns left
             u12_rows.append(None)
             break
 
         # eliminate the rank's local columns belonging to LATER panels
+        # (the LU's FLOP bulk -> trail budget, as in _zsolve_single)
         rest = A_loc[r0:, :][perm, :]
-        U12 = _mm(Linv, rest[:bs, :])
-        tail = rest[bs:, :] - _mm(L21, U12)
+        U12 = _mm_trail(Linv, rest[:bs, :], trail)
+        tail = rest[bs:, :] - _mm_trail(L21, U12, trail)
         upd = jnp.concatenate([A_loc[:r0, :], U12, tail], axis=0)
         lcol = lax.broadcasted_iota(jnp.int32, (1, nbl * bs), 1)
         gpanel = rank + (lcol // bs) * M
@@ -1454,7 +1458,7 @@ def zsolve_dist(A, B_cols, n_shards: int, *, axis_name: str = "m",
     for ib in range(nb - 1, -1, -1):
         acc = workB[ib * bs:(ib + 1) * bs, :]
         if X.shape[0] > 0:
-            acc = acc - _mm(u12_rows[ib][:, (ib + 1) * bs:], X)
+            acc = acc - _mm_trail(u12_rows[ib][:, (ib + 1) * bs:], X, trail)
         X = jnp.concatenate([_mm(Uinv[ib], acc), X], axis=0)
     return X[:N0, :]
 

@@ -92,10 +92,12 @@ class AdaptiveANT:
     """
 
     def __init__(self, tol: float = ADAPTIVE_INTEGRATION_TOL,
-                 max_n: int = MAX_GRID_POINTS, verbose: bool = True):
+                 max_n: int = MAX_GRID_POINTS, verbose: bool = True,
+                 debug: bool = False):
         self.tol = tol
         self.max_n = max_n
         self.verbose = verbose
+        self.debug = debug        # per-level direct-calculation cross-check
         self.n_final = 0
         self.converged = False
         self.error = np.inf
@@ -114,6 +116,15 @@ class AdaptiveANT:
                 ratio = float(np.sum(w[old]) / prev_wsum)
                 P_new = P * ratio + compute(x[~old], w[~old])
                 self.error = float(np.max(np.abs(P_new - P)))
+                if self.debug:
+                    # reference debug parity (density.py:256-262): evaluate
+                    # the full level directly and compare with the
+                    # node-reuse result
+                    P_direct = compute(x, w)
+                    max_dp = float(np.max(np.abs(P_direct - P)))
+                    max_diff = float(np.max(np.abs(P_direct - P_new)))
+                    print(f"Direct Calculation: N={len(x)}, "
+                          f"maxDP={max_dp:.3e}, maxDiff={max_diff:.3e}")
                 P = P_new
                 if self.error < self.tol:
                     self.converged = True

@@ -313,15 +313,26 @@ class NEGF:
         A transient backend failure (a crashed QC subprocess mid-run) must
         not kill a multi-hour SCF: like the reference (scf.py:674-679), the
         cycle is invalidated -- previous Fock and energy kept, dE=0 -- and
-        the loop continues to the next cycle."""
+        the loop continues to the next cycle.  Unlike the reference, the
+        invalid cycle is flagged (``_fock_failed``) so SCF() never treats
+        its dE=0 as convergence, and a persistently dead backend re-raises
+        after 3 consecutive failures instead of silently iterating to the
+        stale-Fock fixed point."""
         total_E_old = self.total_E
+        self._fock_failed = False
         try:
             F, total_E = self.backend.fock(self._P_stored)
         except Exception as e:
+            self._fock_failed = True
+            self._fock_fail_streak = getattr(self, "_fock_fail_streak", 0) + 1
+            if self._fock_fail_streak >= 3:
+                print("ERROR: BACKEND FOCK BUILD FAILED 3 CYCLES IN A ROW")
+                raise
             print("WARNING: BACKEND FOCK BUILD FAILED, CYCLE INVALID:")
             print(e)
             print("CONTINUING TO NEXT CYCLE...")
             return 0.0
+        self._fock_fail_streak = 0
         self.F, self.total_E = F, total_E
         self.F = np.asarray(self.F)
         dE = self.total_E - total_E_old
@@ -373,6 +384,15 @@ class NEGF:
             self.conv_level = max(rmsdp, maxdp, abs(dE))
             if callback is not None:
                 callback(self)
+            if getattr(self, "_fock_failed", False):
+                # invalid cycle: its dE=0 must not checkpoint or convergence
+                # -check a density whose Fock was never rebuilt
+                if n_iter >= max_cycles:
+                    print("WARNING: Convergence criterion not met, "
+                          "maxcycles reached!")
+                    break
+                n_iter += 1
+                continue
             # Checkpoint BEFORE the exit checks (scf.py:781-795 saves then
             # breaks) so *_Final.mat never promotes a stale density.
             if self.conv_level < min_conv and checkpoint:

@@ -234,11 +234,11 @@ def test_integrate_points_serial_matches_direct():
     np.testing.assert_allclose(out, sum(pts))
 
 
-def test_integrate_points_process_pool(monkeypatch):
-    """The host process-pool path (integratePoints parity,
-    reference density.py:121-210): forced on via the reference's gating
-    (parallel=True, >=100 points, >=32 cores), result identical to
-    serial."""
+def test_integrate_points_thread_pool(monkeypatch):
+    """The host parallel path (integratePoints parity, reference
+    density.py:121-210, thread pool instead of fork -- see PARITY.md):
+    forced on via the reference's gating (parallel=True, >=100 points,
+    >=32 cores), result identical to serial."""
     from gaunegf_tpu import density as dens
 
     monkeypatch.setenv("SLURM_CPUS_ON_NODE", "32")
@@ -254,20 +254,17 @@ def test_integrate_points_process_pool(monkeypatch):
 
 
 def test_integrate_points_pool_fallback(monkeypatch):
-    """A point function the pool cannot handle falls back to serial
-    (reference's try/except parity) instead of raising."""
+    """A pool that cannot be created falls back to serial (reference's
+    try/except parity) instead of raising."""
     from gaunegf_tpu import density as dens
-    import multiprocessing as mp
+    import multiprocessing.pool as mp_pool
 
     monkeypatch.setenv("SLURM_CPUS_ON_NODE", "32")
 
     def boom(*a, **k):
         raise OSError("no pool for you")
 
-    class Ctx:
-        Pool = staticmethod(boom)
-
-    monkeypatch.setattr(mp, "get_context", lambda *a, **k: Ctx())
+    monkeypatch.setattr(mp_pool.ThreadPool, "__init__", boom)
     n = 120
     out = dens.integrate_points(lambda i: np.array([float(i)]), n,
                                 parallel=True)

@@ -117,10 +117,12 @@ def test_zinv_refined_cols_direct(rng):
     assert err < 5e-6, err
 
 
-@pytest.mark.parametrize("m", [2, 4])
-def test_zsolve_dist_matches_serial(rng, m):
+@pytest.mark.parametrize("m,trail", [(2, "hi"), (4, "hi"), (2, "bf3"),
+                                     (2, "kar")])
+def test_zsolve_dist_matches_serial(rng, m, trail):
     """Distributed-LU solve (panel-cyclic columns, one broadcast per
-    panel) == LAPACK, on the CPU mesh."""
+    panel) == LAPACK, on the CPU mesh; the lu_trail budget applies on the
+    sharded path too (same knob semantics as the serial zsolve)."""
     from jax.sharding import PartitionSpec as P
     from gaunegf_tpu.ops import zlinalg as zl
 
@@ -130,14 +132,15 @@ def test_zsolve_dist_matches_serial(rng, m):
     B = (rng.standard_normal((N, k))
          + 1j * rng.standard_normal((N, k))).astype(np.complex64)
     mesh = energy_mesh(model_parallel=m)
-    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs), mesh=mesh,
+    X = shard_map(lambda A, B: zl.zsolve_dist(A, B, m, bs=bs, trail=trail),
+                  mesh=mesh,
                   in_specs=(P(), P(None, MODEL_AXIS)),
                   out_specs=P(None, MODEL_AXIS))(jnp.asarray(A),
                                                  jnp.asarray(B))
     X_ref = np.linalg.solve(A.astype(np.complex128),
                             B.astype(np.complex128))
     err = np.abs(np.asarray(X) - X_ref).max() / np.abs(X_ref).max()
-    assert err < 5e-6, err
+    assert err < (5e-6 if trail == "hi" else 5e-5), err
 
 
 @pytest.mark.parametrize("lowrank", [True, False])

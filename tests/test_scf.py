@@ -206,3 +206,27 @@ def test_scf_survives_transient_backend_failure(tmp_path, capsys):
     negf.backend.store_density(negf.P)
     F2, _ = negf.backend.fock(negf.P)
     assert np.max(np.abs(F1 - F2)) < 1e-4
+
+
+def test_scf_failed_cycle_never_reports_convergence(tmp_path, capsys):
+    """An invalid cycle's dE=0 must not satisfy the convergence check:
+    with a huge conv every valid cycle converges instantly, so the loop
+    must run exactly one extra cycle past the simulated crash."""
+    be = FlakyFock(make_backend(U=0.5), fail_on=(1,))
+    negf = NEGF(be, name=str(tmp_path / "noearly"), verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    counts, _, _ = negf.SCF(conv=1e9, damping=0.05, max_cycles=50)
+    assert "CYCLE INVALID" in capsys.readouterr().out
+    assert len(counts) == 2                # failed cycle + one valid cycle
+
+
+def test_scf_dead_backend_raises_after_three_failures(tmp_path):
+    """A permanently dead backend must error out, not silently iterate to
+    the stale-Fock fixed point."""
+    be = FlakyFock(make_backend(U=0.5), fail_on=set(range(1, 1000)))
+    negf = NEGF(be, name=str(tmp_path / "dead"), verbose=False)
+    negf.setSigma([1, 2], [11, 12], sig=-0.1j)
+    negf.setVoltage(0.0, fermi=0.0)
+    with pytest.raises(RuntimeError, match="simulated backend crash"):
+        negf.SCF(conv=1e-6, damping=0.05, max_cycles=50)
