@@ -178,3 +178,9 @@ def calcFermiPolyFit(g, ne, Emin, Ef, N, tol=ADAPTIVE_INTEGRATION_TOL,
     """Robust-polynomial Fermi search (density.py:1333-1515)."""
     return _f.calc_fermi_poly_fit(g, ne, Emin, Ef, N, tol=tol, conv=conv,
                                   max_cycles=maxcycles, T=T, order=order)
+
+
+# Module constants under the reference's names (density.py:57-61)
+FERMI_DEBUG = False
+from gaunegf_tpu.units import HAR_TO_EV as har_to_eV  # noqa: E402,F401
+from gaunegf_tpu.units import KB as kB                # noqa: E402,F401

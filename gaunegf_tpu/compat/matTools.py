@@ -9,6 +9,19 @@ import numpy as np
 from gaunegf_tpu.io.gaussian import (
     get_density, get_energies, get_fock, store_density)
 from gaunegf_tpu.models.selfenergy import form_sigma
+from gaunegf_tpu.units import HAR_TO_EV as har_to_eV  # noqa: F401
+
+# Gaussian matrix headers (matTools.py:26-33, scfE.py:32-41)
+AlphaDen = "ALPHA DENSITY MATRIX"
+BetaDen = "BETA DENSITY MATRIX"
+AlphaSCFDen = "ALPHA SCF DENSITY MATRIX"
+BetaSCFDen = "BETA SCF DENSITY MATRIX"
+AlphaFock = "ALPHA FOCK MATRIX"
+BetaFock = "BETA FOCK MATRIX"
+AlphaMOs = "ALPHA MO COEFFICIENTS"
+BetaMOs = "BETA MO COEFFICIENTS"
+AlphaEnergies = "ALPHA ORBITAL ENERGIES"
+BetaEnergies = "BETA ORBITAL ENERGIES"
 
 
 def formSigma(inds, V, nsto, S=0):

@@ -29,3 +29,8 @@ class NEGF(_NEGF):
         backend = _gaussian_backend(fn, basis, func, spin, route, section,
                                     fullSCF)
         super().__init__(backend, spin=spin, name=fn, n_pulay=nPulay, **kw)
+
+
+# Module constants under the reference's names (scf.py:64-65)
+from gaunegf_tpu.units import HAR_TO_EV as har_to_eV  # noqa: E402,F401
+from gaunegf_tpu.units import V_TO_AU as V_to_au      # noqa: E402,F401

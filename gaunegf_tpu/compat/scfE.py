@@ -20,3 +20,14 @@ class NEGFE(_NEGFE):
         backend = _gaussian_backend(fn, basis, func, spin, route, section,
                                     fullSCF)
         super().__init__(backend, spin=spin, name=fn, n_pulay=nPulay, **kw)
+
+
+# Module constants under the reference's names (scfE.py:44-47); the
+# reference also star-imports the matTools matrix headers.
+from gaunegf_tpu.units import EOVERH as eoverh        # noqa: E402,F401
+from gaunegf_tpu.units import HAR_TO_EV as har_to_eV  # noqa: E402,F401
+from gaunegf_tpu.units import KB as kB                # noqa: E402,F401
+from gaunegf_tpu.units import V_TO_AU as V_to_au      # noqa: E402,F401
+from gaunegf_tpu.compat.matTools import (             # noqa: E402,F401
+    AlphaDen, AlphaEnergies, AlphaFock, AlphaMOs, AlphaSCFDen, BetaDen,
+    BetaEnergies, BetaFock, BetaMOs, BetaSCFDen)

@@ -7,7 +7,7 @@ Default iteration is Sancho-Rubio decimation; pass method='dyson' for the
 reference-faithful relaxed Dyson fixed point (surfG1D.py:223-295).
 """
 
-from gaunegf_tpu.config import ETA
+from gaunegf_tpu.config import ETA, SURFACE_GREEN_CONVERGENCE
 from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
 
 
@@ -20,3 +20,17 @@ class surfG(Chain1DSelfEnergy):
         super().__init__(Fock, Overlap, indsList, taus=taus, staus=staus,
                          alphas=alphas, a_overlaps=aOverlaps, betas=betas,
                          b_overlaps=bOverlaps, eta=eta, **kw)
+
+    def g(self, E, i, conv=SURFACE_GREEN_CONVERGENCE, relFactor=None):
+        """Surface Green's function of contact i (surfG1D.py:223-295).
+
+        relFactor (the reference Dyson iteration's relaxation) is accepted
+        for signature parity; the fixed point itself is solved by the
+        provider's configured method (Sancho default / 'dyson').
+        """
+        return self.surface_g(E, i, conv=conv)
+
+    def setContacts(self, alphas=None, aOverlaps=None, betas=None,
+                    bOverlaps=None):
+        """Re-set contact parameters (surfG1D.py:167-222)."""
+        return self.set_contacts(alphas, aOverlaps, betas, bOverlaps)

@@ -11,6 +11,7 @@ calculate_current, transport.py:376-720); SigmaCalculator
 from gaunegf_tpu.transport import (  # noqa: F401
     DOS, DOSE, SigmaSource, calculate_current, calculate_dos,
     calculate_transmission, cohTrans, cohTransE, cohTransSpin,
-    cohTransSpinE, current, currentE, currentF, currentSpin)
+    cohTransSpinE, current, currentE, currentF, currentSpin,
+    dos_single_energy, transmission_single_energy)
 
 SigmaCalculator = SigmaSource

@@ -519,6 +519,26 @@ class Chain1DSelfEnergy(_CompatMixin):
                         self.b_list[i] = self.b_list[i] + dmu * self.bS_list[i]
                         self.fermi_list[i] = mu
 
+    def set_contacts(self, alphas=None, a_overlaps=None, betas=None,
+                     b_overlaps=None):
+        """Re-set contact parameters (surfG1D.py:167-222 semantics).
+
+        Contacts extracted from F/S (patterns a/b) are re-extracted and
+        any provided arguments are ignored; fully-specified contacts
+        (pattern c) require all four arguments together.
+        """
+        if self.contact_from_fock:
+            self._extract_contacts()
+            return
+        if any(x is None for x in (alphas, a_overlaps, betas, b_overlaps)):
+            raise ValueError(
+                "fully-specified contacts require alphas, aOverlaps, betas "
+                "and bOverlaps together (partial updates unsupported)")
+        self.a_list = [np.asarray(a, dtype=complex) for a in alphas]
+        self.aS_list = [np.asarray(a) for a in a_overlaps]
+        self.b_list = [np.asarray(b, dtype=complex) for b in betas]
+        self.bS_list = [np.asarray(b) for b in b_overlaps]
+
     # aliases used by Fermi-search helpers on sub-providers
     @property
     def aList(self):

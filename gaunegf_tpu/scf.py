@@ -112,6 +112,33 @@ class NEGF:
             print(f"Density matrix loaded, nelec = {self.nelec:.2f} electrons")
         self.PToFock()
 
+    def setFock(self, F_):
+        """Set the Fock matrix from eV units (reference scf.py:268-277).
+
+        The reference stores F in Hartree and divides the eV input by
+        har_to_eV; here the stored unit is the backend's (f_to_eV maps
+        stored -> eV), so the same conversion is input / f_to_eV.
+        """
+        self.F = np.asarray(F_) / self.f_to_eV
+
+    def runDFT(self, fullSCF=True):
+        """Re-run the backend's initial SCF / Harris guess and reload F
+        (reference scf.py:210-246).
+
+        For GaussianFock this replays the checkpoint-or-SCF bootstrap
+        (dofock=True falling back to dofock='scf', or the GUESS route);
+        synthetic backends just hand back their initial Fock.  Returns
+        the refreshed Fock matrix (backend units).
+        """
+        run = getattr(self.backend, "_run_initial", None)
+        if run is not None:
+            run(fullSCF)
+        self.F = np.asarray(self.backend.initial_fock())
+        locs = getattr(self.backend, "locs", None)
+        if locs is not None:
+            self.locs = np.asarray(locs)
+        return self.F
+
     def getHOMOLUMO(self):
         orbs, _ = np.linalg.eig(self.X @ self.F @ self.X)
         orbs = np.sort(orbs) * self.f_to_eV

@@ -408,6 +408,48 @@ def calculate_dos(F, S, sigma_source, energy_list, spin=None,
     return state["dos_total"], state["dos_per_site"]
 
 
+def transmission_single_energy(E, F, S, sigma_source, spin=None,
+                               exec_cfg=_DEFAULT_EXEC):
+    """Single-point T(E) (reference transport.py:193-273 contract).
+
+    Returns a float for 'r'; (total, [T_uu, T_ud, T_du, T_dd]) for
+    'u'/'ro'/'g'.  Thin wrapper over the batched sweep so single-point
+    probes share the engine cache with full sweeps.
+    """
+    spin = spin or "r"
+    res = calculate_transmission(F, S, sigma_source, [float(E)], spin=spin,
+                                 exec_cfg=exec_cfg)
+    if spin == "r":
+        return float(np.asarray(res)[0])
+    tot, tspin = res
+    return float(tot[0]), [float(x) for x in np.asarray(tspin)[0]]
+
+
+def dos_single_energy(E, F, S, sigma_source, spin=None,
+                      exec_cfg=_DEFAULT_EXEC):
+    """Single-point DOS (reference transport.py:274-375 contract).
+
+    'r' -> (total_dos, dos_per_site); 'u'/'ro'/'g' -> (total_dos,
+    dos_per_site, dos_up_per_site, dos_down_per_site), with dos_per_site
+    in the original orbital ordering (spinor interleaving preserved for
+    'g', where up/down are the even/odd spinor components).
+    """
+    spin = spin or "r"
+    res = calculate_dos(F, S, sigma_source, [float(E)], spin=spin,
+                        exec_cfg=exec_cfg)
+    if spin == "r":
+        tot, per_site = res
+        return float(tot[0]), np.asarray(per_site)[0]
+    tot, per_site, _ = res
+    per = np.asarray(per_site)[0]
+    n2 = per.shape[0] // 2
+    if spin == "g":
+        up, dn = per[0::2], per[1::2]
+    else:
+        up, dn = per[:n2], per[n2:]
+    return float(tot[0]), per, up, dn
+
+
 def calculate_current(F, S, sigma_source, fermi, qV, T=TEMPERATURE,
                       spin=None, dE=ENERGY_STEP, exec_cfg=_DEFAULT_EXEC,
                       mesh=None, **kwargs):

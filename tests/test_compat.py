@@ -42,21 +42,64 @@ REFERENCE_NAMES = {
     "fermiSearch": ["DOSFermiSearch", "matrixFiniteDifference"],
     "surfG1D": ["surfG"],
     "surfGTester": ["surfGTest"],
-    "surfGBethe": ["surfGB", "surfGBAt"],
-    "surfG3D": ["surfG3"],
-    "scf": ["NEGF"],
-    "scfE": ["NEGFE"],
+    "surfGBethe": ["surfGB", "surfGBAt", "kB", "dim", "har_to_eV", "Eminf",
+                   "bohr_to_ang"],
+    "surfG3D": ["surfG3", "surfGAt", "kB", "dim", "har_to_eV", "Eminf"],
+    "scf": ["NEGF", "har_to_eV", "V_to_au"],
+    "scfE": ["NEGFE", "har_to_eV", "eoverh", "kB", "V_to_au", "AlphaDen",
+             "BetaDen", "AlphaSCFDen", "BetaSCFDen", "AlphaFock", "BetaFock",
+             "AlphaMOs", "BetaMOs", "AlphaEnergies", "BetaEnergies"],
     "transport": ["SigmaCalculator", "calculate_transmission",
                   "calculate_dos", "calculate_current", "current",
                   "currentSpin", "currentE", "currentF", "cohTrans",
                   "cohTransSpin", "DOS", "cohTransE", "cohTransSpinE",
-                  "DOSE"],
+                  "DOSE", "transmission_single_energy", "dos_single_energy"],
+}
+REFERENCE_NAMES["matTools"] += ["har_to_eV", "AlphaDen", "BetaDen",
+                                "AlphaSCFDen", "BetaSCFDen", "AlphaFock",
+                                "BetaFock", "AlphaEnergies", "BetaEnergies"]
+REFERENCE_NAMES["density"] += ["har_to_eV", "kB", "FERMI_DEBUG"]
+REFERENCE_NAMES["integrate"] += ["MAX_VMAP_MEMORY_GB", "FORCE_SYNCHRONOUS",
+                                 "MEMORY_PER_MATRIX_FACTOR", "BYTES_TO_GB",
+                                 "parallel_logger", "hostname", "pid",
+                                 "log_level"]
+
+# Reference class methods under their original camelCase spellings
+# (module, class) -> methods; verified against /root/reference round 4.
+REFERENCE_METHODS = {
+    ("scf", "NEGF"): ["runDFT", "updateN", "setFock", "setDen",
+                      "getHOMOLUMO", "setVoltage", "setContacts", "setSigma",
+                      "getSigma", "FockToP", "PMix", "PToFock", "SCF",
+                      "writeChk", "saveMAT"],
+    ("scfE", "NEGFE"): ["setContactBethe", "setContact1D", "setSigma",
+                        "setVoltage", "setIntegralLimits", "integralCheck",
+                        "getSigma", "FockToP", "PToFock"],
+    ("surfG1D", "surfG"): ["g", "setContacts", "setF", "sigma", "sigmaTot"],
+    ("surfGTester", "surfGTest"): ["setF", "sigma", "sigmaTot"],
+    ("surfGBethe", "surfGB"): ["genNeighbors", "readBetheParams",
+                               "constructMat", "sigma", "sigmaTot",
+                               "getSigma", "updateFermi", "setF",
+                               "runAllTests", "testDOrbitalFunctions",
+                               "testDOrbitalSymmetry", "testPDInteraction",
+                               "testDDInteraction", "testHoppingPhysics"],
+    ("surfGBethe", "surfGBAt"): ["sigmaK", "sigma", "sigmaTot", "setF",
+                                 "updateH", "DOS", "calcFermi"],
+    ("surfG3D", "surfG3"): ["genNeighbors", "readBetheParams",
+                            "constructMat", "sigma", "sigmaTot", "getSigma",
+                            "updateFermi", "setF", "runAllTests"],
+    ("surfG3D", "surfGAt"): ["sigmaK", "sigma", "sigmaTot", "setF",
+                             "updateH", "DOS", "calcFermi"],
+    ("fermiSearch", "DOSFermiSearch"): ["getAccuracy",
+                                        "matrixFiniteDifference", "step"],
 }
 
 
 def test_every_reference_name_exists():
     missing = [f"{m}.{n}" for m, names in REFERENCE_NAMES.items()
                for n in names if not hasattr(getattr(compat, m), n)]
+    missing += [f"{m}.{c}.{n}" for (m, c), names in REFERENCE_METHODS.items()
+                for n in names
+                if not hasattr(getattr(getattr(compat, m), c), n)]
     assert not missing, f"compat facade is missing: {missing}"
 
 

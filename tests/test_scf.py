@@ -230,3 +230,16 @@ def test_scf_dead_backend_raises_after_three_failures(tmp_path):
     negf.setVoltage(0.0, fermi=0.0)
     with pytest.raises(RuntimeError, match="simulated backend crash"):
         negf.SCF(conv=1e-6, damping=0.05, max_cycles=50)
+
+
+def test_set_fock_and_run_dft_parity(tmp_path):
+    """setFock converts eV -> backend units (ref scf.py:268-277); runDFT
+    reloads the backend's initial Fock (ref scf.py:210-246)."""
+    be = make_backend(U=0.5)
+    negf = NEGF(be, name=str(tmp_path / "setf"), verbose=False)
+    F0 = negf.F.copy()
+    F_eV = (F0 + 0.25 * np.eye(negf.nsto)) * negf.f_to_eV
+    negf.setFock(F_eV)
+    assert np.allclose(negf.F, F0 + 0.25 * np.eye(negf.nsto))
+    assert negf.runDFT().shape == F0.shape
+    assert np.allclose(negf.F, be.initial_fock())   # refreshed, not stale

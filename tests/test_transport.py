@@ -234,3 +234,31 @@ def test_contact_inds_threshold_boundary():
     # empty Gamma -> None
     assert SigmaSource(np.zeros((n, n)), sig2).provider.contact_inds(0) \
         is None
+
+
+def test_single_energy_wrappers_match_sweeps():
+    """transmission_single_energy / dos_single_energy (reference
+    transport.py:193-375) agree with the batched sweeps and return the
+    reference's shapes: float / (float, per_site) for 'r', 4-channel
+    lists and per-spin site arrays for 'u'."""
+    H, S, s1, s2 = _static_system()
+    src = tr.SigmaSource(s1, s2)
+    E0 = float(GOLD["trans_E"][3])
+    T0 = tr.transmission_single_energy(E0, H, S, src)
+    assert isinstance(T0, float)
+    assert abs(T0 - GOLD["trans_T"][3]) < 1e-9
+    d0, site0 = tr.dos_single_energy(E0, H, S, src)
+    assert abs(d0 - GOLD["trans_dos_tot"][3]) < 1e-9
+    assert np.max(np.abs(site0 - GOLD["trans_dos_site"][3])) < 1e-9
+
+    n = H.shape[0]
+    H2 = np.block([[H, np.zeros_like(H)],
+                   [np.zeros_like(H), H + 0.2 * np.eye(n)]])
+    S2 = np.eye(2 * n)
+    srcu = tr.SigmaSource(np.kron(np.eye(2), s1), np.kron(np.eye(2), s2))
+    Tu, Tch = tr.transmission_single_energy(E0, H2, S2, srcu, spin="u")
+    assert len(Tch) == 4 and abs(Tu - sum(Tch)) < 1e-12
+    assert abs(Tu - GOLD["trans_Tu"][3]) < 1e-9
+    du, siteu, up, dn = tr.dos_single_energy(E0, H2, S2, srcu, spin="u")
+    assert siteu.shape == (2 * n,) and up.shape == (n,) and dn.shape == (n,)
+    assert abs(du - (up.sum() + dn.sum())) < 1e-10
