@@ -115,7 +115,8 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
     # so the while carries match their data-derived outputs under shard_map
     # (see zlinalg._tie_vma)
     sig0 = zl._tie_vma(sig0, A)
-    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A) \
+    rdt = jnp.zeros((), cdt).real.dtype
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf, rdt), A) \
         + 0.0 * jnp.real(jnp.sum(sig0))
     count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A)
     _, _, sig, _ = lax.while_loop(cond, body, (count0, diff0, sig0, sig0))
@@ -160,7 +161,8 @@ def bethe_sigma_surface(E, H, Slist, Vlist, eta,
         return (count + 1, diff, sig, sig_old)
 
     sig_surf0 = zl._tie_vma(sig_surf0, A)
-    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A) \
+    rdt = jnp.zeros((), cdt).real.dtype
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf, rdt), A) \
         + 0.0 * jnp.real(jnp.sum(sig_surf0))
     count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A)
     _, _, sig, _ = lax.while_loop(cond, body,
@@ -168,6 +170,212 @@ def bethe_sigma_surface(E, H, Slist, Vlist, eta,
     if sig0 is not None:
         return sig, sig_bulk
     return sig
+
+
+# ---------------------------------------------------------------------------
+# Double-word fixed point (the 'high'/'exact' tiers' Bethe Sigma)
+# ---------------------------------------------------------------------------
+
+def _cdw_bt(M):
+    """Batched dw conjugate transpose (swap only the LAST two axes --
+    zl.cdw_conj_t's .T would reverse the batch axis too)."""
+    return (jnp.conj(jnp.swapaxes(M[0], -1, -2)),
+            jnp.conj(jnp.swapaxes(M[1], -1, -2)))
+
+
+def _cdw_sum0(X_dw):
+    """Double-word sum over axis 0 of a stacked dw matrix (hi, lo)."""
+    hi, lo = X_dw
+    h, l = hi[0], lo[0]
+    for k in range(1, hi.shape[0]):
+        h, e = zl.ctwo_sum(h, hi[k])
+        l = l + lo[k] + e
+    return h, l
+
+
+def _cdw_blend(mix, new, old):
+    """mix * new + (1 - mix) * old in double-word (mix a float scalar)."""
+    cdt = new[0].dtype
+    m = (jnp.asarray(mix, cdt), jnp.zeros((), cdt))
+    m1 = (jnp.asarray(1.0 - mix, cdt), jnp.zeros((), cdt))
+    return zl.cdw_add2(zl.cdw_smul(m, new), zl.cdw_smul(m1, old))
+
+
+def _cdw_diff(new, old):
+    """Relative dw difference max|new - old| / max|new| (the hi parts of
+    nearby values subtract exactly in f32, so the small difference is
+    representable even below the f32 relative floor)."""
+    d = (new[0] - old[0]) + (new[1] - old[1])
+    return jnp.max(jnp.abs(d)) / jnp.maximum(jnp.max(jnp.abs(new[0])),
+                                             1e-30)
+
+
+def _zinv_dw_b(M_dw):
+    """Batched double-word inverse (zinv seed + dw Newton + one error-free
+    Ozaki step, matching the chain dw path's inverse budget)."""
+    return zl.zinv_dw(M_dw[0], M_dw[1], steps=2, exact_steps=1)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def bethe_sigma_surface_dw(E_dw, H_dw, S_dw, V_dw, eta,
+                           conv=1e-11, mix=SURFACE_BETHE_MIX,
+                           max_iter=SURFACE_MAX_ITER_BETHE):
+    """Surface self-energies carried in double-word (hi, lo) arithmetic.
+
+    Removes the f32 evaluation floor (~1e-6 relative) of the Bethe fixed
+    point for the 'high'/'exact' tiers, mirroring the energy-dependent
+    chain's surface_g_sancho_dw: the single-word solve (bethe_sigma_k /
+    the in-plane surface relax) provides the seed, then the SAME Jacobi
+    map is iterated in dw arithmetic -- every inverse a zinv_dw with an
+    error-free final Newton step, every product a zmatmul_dw -- until the
+    dw iterate is stationary to ``conv`` (relative, default 1e-11).
+    Inputs are exact two-float splits: E_dw a (hi, lo) complex scalar
+    pair, H/S/V (hi, lo) array pairs.  Returns the (9, 9, 9) surface
+    stack as (hi, lo).  Reference physics: surfGBethe.py:957-1108.
+    """
+    cdt = jnp.result_type(E_dw[0], H_dw[0].dtype, jnp.complex64)
+    pair = jnp.asarray(PAIR)
+    plane = jnp.asarray(PLANE_DIRS)
+
+    # single-word seeds (converged to ~f32 accuracy)
+    sig_bulk_hi = bethe_sigma_k(E_dw[0], H_dw[0], S_dw[0], V_dw[0], eta,
+                                mix=mix, max_iter=max_iter)
+    sig_surf_hi = bethe_sigma_surface(E_dw[0], H_dw[0], S_dw[0], V_dw[0],
+                                      eta, mix=mix, max_iter=max_iter)
+
+    # dw operators: zE = E - i*eta captured exactly, A = zE*I - H,
+    # B_k = zE*S_k - V_k
+    eta_c = jnp.asarray(1j, cdt) * jnp.asarray(eta, jnp.float32)
+    zE_h, e = zl.ctwo_sum(E_dw[0].astype(cdt), -eta_c)
+    zE = (zE_h, E_dw[1].astype(cdt) + e)
+    eye = jnp.eye(DIM, dtype=cdt)
+    A = zl.cdw_sub(zl.cdw_smul(zE, (eye, jnp.zeros_like(eye))),
+                   (H_dw[0].astype(cdt), H_dw[1].astype(cdt)))
+    B = zl.cdw_sub(zl.cdw_smul(zE, (S_dw[0].astype(cdt),
+                                    S_dw[1].astype(cdt))),
+                   (V_dw[0].astype(cdt), V_dw[1].astype(cdt)))
+    Bd = _cdw_bt(B)
+
+    def cond(state):
+        count, diff, *_ = state
+        return (diff > conv) & (count < max_iter)
+
+    # -- bulk polish: all 12 slots, Jacobi, dw ---------------------------
+    def body_bulk(state):
+        count, diff, sh, sl = state
+        tot = _cdw_sum0((sh, sl))
+        M = zl.cdw_add2(
+            zl.cdw_sub((jnp.broadcast_to(A[0], sh.shape),
+                        jnp.broadcast_to(A[1], sh.shape)),
+                       (jnp.broadcast_to(tot[0], sh.shape),
+                        jnp.broadcast_to(tot[1], sh.shape))),
+            (sh[pair], sl[pair]))
+        g = _zinv_dw_b(M)
+        # exact=True: zmatmul_dwf's f32-accumulation floor (~1e-7 rel,
+        # the docstring's sqrt(K)*eps) stalls the fixed point at ~1e-8;
+        # the Ozaki hi x hi product removes it (9x9 mats -- cheap)
+        prod = zl.zmatmul_dw(B, zl.zmatmul_dw(g, Bd, exact=True),
+                             exact=True)
+        new = _cdw_blend(mix, prod, (sh, sl))
+        return (count + 1, _cdw_diff(new, (sh, sl)), new[0], new[1])
+
+    rdt = jnp.zeros((), cdt).real.dtype
+    sh0 = zl._tie_vma(sig_bulk_hi.astype(cdt), A[0])
+    sl0 = jnp.zeros_like(sh0)
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf, rdt), A[0]) \
+        + 0.0 * jnp.real(jnp.sum(sh0))
+    count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A[0])
+    _, _, bh, bl = lax.while_loop(cond, body_bulk,
+                                  (count0, diff0, sh0, sl0))
+
+    # -- surface polish: 6 in-plane slots on top of the dw bulk ---------
+    # slots 3..5 (down-facing) keep their dw bulk values; plane slots are
+    # seeded from the single-word surface relax (already converged in f32)
+    sh0 = bh[:9].at[plane].set(sig_surf_hi[plane].astype(cdt))
+    sl0 = bl[:9].at[plane].set(0.0)
+    sh0 = zl._tie_vma(sh0, A[0])
+
+    def body_surf(state):
+        count, diff, sh, sl = state
+        tot = _cdw_sum0((sh, sl))
+        M = zl.cdw_sub(A, tot)
+        g = _zinv_dw_b(M)
+        prod = zl.zmatmul_dw((B[0][plane], B[1][plane]),
+                             zl.zmatmul_dw(g, (Bd[0][plane], Bd[1][plane]),
+                                           exact=True), exact=True)
+        new = _cdw_blend(mix, prod, (sh[plane], sl[plane]))
+        nh = sh.at[plane].set(new[0])
+        nl = sl.at[plane].set(new[1])
+        return (count + 1, _cdw_diff((nh, nl), (sh, sl)), nh, nl)
+
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf, rdt), A[0]) \
+        + 0.0 * jnp.real(jnp.sum(sh0))
+    count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A[0])
+    _, _, sh, sl = lax.while_loop(cond, body_surf,
+                                  (count0, diff0, sh0, sl0))
+    return (sh, sl)
+
+
+def _dw_split_host(x):
+    """Exact two-float split of a host f64 array -> (hi, lo) complex64."""
+    x = np.asarray(x, dtype=np.complex128)
+    hi = x.astype(np.complex64)
+    lo = (x - hi.astype(np.complex128)).astype(np.complex64)
+    return hi, lo
+
+
+@lru_cache(maxsize=None)
+def _bethe_contact_fn_dw(static_key, Xi_h, i: int):
+    """Double-word contact sigma: fn(params_dw, E_dw) -> (hi, lo) N x N."""
+    inds, nind, N, spin, orthogonal = static_key
+
+    def fn(params, E_dw):
+        p = params["contacts_dw"][i]
+        sh, sl = bethe_sigma_surface_dw(
+            E_dw, (p["H_hi"], p["H_lo"]), (p["S_hi"], p["S_lo"]),
+            (p["V_hi"], p["V_lo"]), p["eta_hi"])
+        sig_h = jnp.zeros((N, N), dtype=sh.dtype)
+        sig_l = jnp.zeros((N, N), dtype=sl.dtype)
+        for n_inds, f_inds in zip(nind[i], inds[i]):
+            ah, al = _cdw_sum0((sh, sl))
+            for k in n_inds:
+                if k < 9:
+                    ah, al = zl.cdw_sub((ah, al), (sh[k], sl[k]))
+            ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
+            sig_h = sig_h.at[ix].set(ah)
+            sig_l = sig_l.at[ix].set(al)
+        if orthogonal:
+            # Xi sig Xi with Xi's own f64 information kept (exact split)
+            Xi_hi_np, Xi_lo_np = _dw_split_host(Xi_h.arr)
+            Xi_dw = (jnp.asarray(Xi_hi_np), jnp.asarray(Xi_lo_np))
+            sig_h, sig_l = zl.zmatmul_dw(
+                Xi_dw, zl.zmatmul_dw((sig_h, sig_l), Xi_dw, exact=True),
+                exact=True)
+        if spin in ("u", "ro"):
+            eye2 = jnp.eye(2)
+            sig_h = jnp.kron(eye2, sig_h)
+            sig_l = jnp.kron(eye2, sig_l)
+        elif spin == "g":
+            eye2 = jnp.eye(2)
+            sig_h = jnp.kron(sig_h, eye2)
+            sig_l = jnp.kron(sig_l, eye2)
+        return sig_h, sig_l
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _bethe_total_fn_dw(static_key, Xi_h):
+    n_contacts = len(static_key[0])
+
+    def fn(params, E_dw):
+        sig = _bethe_contact_fn_dw(static_key, Xi_h, 0)(params, E_dw)
+        for i in range(1, n_contacts):
+            sig = zl.cdw_add2(
+                sig, _bethe_contact_fn_dw(static_key, Xi_h, i)(params, E_dw))
+        return sig
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -514,6 +722,31 @@ class BetheSelfEnergy(_CompatMixin):
         return {
             "contacts": tuple(g.params() for g in self.g_list),
         }
+
+    def params_dw(self):
+        """Exact two-float splits of every contact's H/S/V (known in f64
+        on the host), for the double-word fixed point -- the Bethe analog
+        of Chain1DSelfEnergy.params_dw (VERDICT r1 item: the exact tier's
+        Sigma floor)."""
+        contacts = []
+        for g in self.g_list:
+            p = g.params()
+            q = {}
+            for k in ("H", "S", "V"):
+                q[k + "_hi"], q[k + "_lo"] = _dw_split_host(p[k])
+            q["eta_hi"] = np.float32(p["eta"])
+            contacts.append(q)
+        return {"contacts_dw": tuple(contacts)}
+
+    def total_apply_dw(self):
+        fn = _bethe_total_fn_dw(self._static_key(), _HashableArray(self.Xi))
+        return fn, self.params_dw()
+
+    def contact_apply_dw(self, i):
+        i = i % len(self.g_list)
+        fn = _bethe_contact_fn_dw(self._static_key(),
+                                  _HashableArray(self.Xi), i)
+        return fn, self.params_dw()
 
     def _static_key(self):
         inds = tuple(tuple(tuple(int(x) for x in a) for a in il)

@@ -214,6 +214,13 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
         self.kspace = not gamma_point_only
         self.nk = int(nk)
         if self.kspace:
+            # no double-word path for the BZ-integrated mode yet: shadow
+            # the inherited Bethe dw methods so the high/exact engines
+            # fall back to the single-word sigma (same pattern as
+            # chain1d's method='dyson'); gamma-point mode inherits the
+            # Bethe dw fixed point unchanged.
+            self.total_apply_dw = None
+            self.contact_apply_dw = None
             # bz_symmetry: fold the surface BZ by the plane's validated
             # little group (C3v for fcc(111): ~3-6x fewer decimations,
             # exact -- kspace.bz_reduce).  Falls back to the full

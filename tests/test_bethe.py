@@ -287,3 +287,96 @@ def test_embed_fn_built_under_trace_reusable_across_traces():
     a = np.asarray(first(sig_surf))
     b = np.asarray(second(sig_surf))
     assert np.allclose(b, 2.0 * a)
+
+
+def _dw_scalar(E):
+    E = np.complex128(E)
+    hi = np.complex64(E)
+    lo = np.complex64(E - np.complex128(hi))
+    return hi, lo
+
+
+def test_sigma_surface_dw_matches_c128():
+    """The double-word Bethe fixed point (bethe_sigma_surface_dw) agrees
+    with the single-word machinery run in complex128 far below the f32
+    floor (the 'high'/'exact' tiers' Sigma path)."""
+    p = _au_params()
+    nvecs = GOLD["nn_vecs"]
+    Slist = np.stack([sk.bond_matrix(p.overlap, d) for d in nvecs])
+    Vlist = np.stack([sk.bond_matrix(p.hopping, d) for d in nvecs])
+    H = p.h0()
+    for E in (0.7 + 0.013j, -3.1 + 0.05j):
+        truth = np.asarray(bt.bethe_sigma_surface(
+            np.complex128(E), H, Slist, Vlist, 1e-6, conv=1e-13,
+            max_iter=5000))
+        sh, sl = bt.bethe_sigma_surface_dw(
+            _dw_scalar(E), bt._dw_split_host(H), bt._dw_split_host(Slist),
+            bt._dw_split_host(Vlist), np.float32(1e-6))
+        got = np.asarray(sh, dtype=np.complex128) \
+            + np.asarray(sl, dtype=np.complex128)
+        scale = np.max(np.abs(truth))
+        rel = np.max(np.abs(got - truth)) / scale
+        # f32 single-word floor is ~1e-6 relative; dw must beat it by >100x
+        assert rel < 5e-9, (E, rel)
+        f32 = np.asarray(bt.bethe_sigma_surface(
+            np.complex64(E), H.astype(np.float32),
+            Slist.astype(np.float32), Vlist.astype(np.float32),
+            np.float32(1e-6))).astype(np.complex128)
+        rel_f32 = np.max(np.abs(f32 - truth)) / scale
+        assert rel < rel_f32 / 50, (rel, rel_f32)
+
+
+def test_high_tier_engine_uses_bethe_dw():
+    """EnergyEngine precision='high' with a Bethe provider runs the dw
+    Sigma (provider.total_apply_dw) and lands far below the f32 floor."""
+    from gaunegf_tpu.config import ExecutionConfig
+    from gaunegf_tpu.ops.greens import EnergyEngine
+
+    geom = _fcc_slab_geometry()
+    n_orb = 12 * 9 + 4
+    rng = np.random.default_rng(5)
+    F = np.zeros((n_orb, n_orb))
+    F[:27, :27] += 0.05 * np.diag(np.cos(np.arange(27)))
+    F[27:, 27:] += np.diag(rng.uniform(-1, 1, n_orb - 27))
+    S = np.eye(n_orb)
+    prov = bt.BetheSelfEnergy(
+        F, S, [[1, 2, 3]], geom,
+        lat_file=os.path.join(os.path.dirname(bt.__file__), "..", "data",
+                              "demo.bethe"),
+        eta=1e-6, T=0.0, fermi=0.0, verbose=False)
+    assert prov.total_apply_dw is not None
+
+    E = np.array([-1.3 + 0.05j, 0.4 + 0.05j, 1.9 + 0.05j])
+    w = np.array([0.7, 1.1, 0.3], dtype=complex)
+
+    # c128 ground truth: tight fixed point + the same embedding data
+    inds, nind, N, spin, orthogonal = prov._static_key()
+    assert not orthogonal and spin == "r"
+    g0 = prov.g_list[0]
+    truth = np.zeros((N, N), dtype=np.complex128)
+    for Ek, wk in zip(E, w):
+        sig_surf = np.asarray(bt.bethe_sigma_surface(
+            np.complex128(Ek), g0.H, g0.Slist, g0.Vlist, g0.eta,
+            conv=1e-13, max_iter=5000))
+        sig = np.zeros((N, N), dtype=np.complex128)
+        for n_inds, f_inds in zip(nind[0], inds[0]):
+            atom = sig_surf[:9].sum(axis=0)
+            for k in n_inds:
+                if k < 9:
+                    atom = atom - sig_surf[k]
+            sig[np.ix_(np.asarray(f_inds), np.asarray(f_inds))] = atom
+        truth += wk * np.linalg.inv(
+            Ek * S.astype(np.complex128) - F - sig)
+
+    eng = EnergyEngine(F, S, prov, ExecutionConfig(
+        precision="high", energy_chunk=3))
+    got = eng.gr_sum(E, w)
+    rel = np.max(np.abs(got - truth)) / np.max(np.abs(truth))
+    assert rel < 2e-7, rel
+
+    fast = EnergyEngine(F, S, prov, ExecutionConfig(
+        precision="fast", energy_chunk=3)).gr_sum(E, w)
+    rel_fast = np.max(np.abs(fast - truth)) / np.max(np.abs(truth))
+    # high must clearly beat fast; the absolute bound above is the real
+    # check (the ~5e-8 floor is the engine's dw solve, not the Bethe Sigma)
+    assert rel < rel_fast / 4, (rel, rel_fast)
