@@ -325,15 +325,13 @@ def _dw_split_host(x):
 
 
 @lru_cache(maxsize=None)
-def _bethe_contact_fn_dw(static_key, Xi_h, i: int):
-    """Double-word contact sigma: fn(params_dw, E_dw) -> (hi, lo) N x N."""
+def _bethe_embed_dw(static_key, Xi_h, i: int):
+    """Double-word twin of _bethe_embed_fn: embed a (9, 9, 9) dw surface
+    stack into the (N, N) device matrix (per-atom slot subtraction,
+    de-orthogonalization, spin expansion -- all carried in (hi, lo))."""
     inds, nind, N, spin, orthogonal = static_key
 
-    def fn(params, E_dw):
-        p = params["contacts_dw"][i]
-        sh, sl = bethe_sigma_surface_dw(
-            E_dw, (p["H_hi"], p["H_lo"]), (p["S_hi"], p["S_lo"]),
-            (p["V_hi"], p["V_lo"]), p["eta_hi"])
+    def embed(sh, sl):
         sig_h = jnp.zeros((N, N), dtype=sh.dtype)
         sig_l = jnp.zeros((N, N), dtype=sl.dtype)
         for n_inds, f_inds in zip(nind[i], inds[i]):
@@ -360,6 +358,21 @@ def _bethe_contact_fn_dw(static_key, Xi_h, i: int):
             sig_h = jnp.kron(sig_h, eye2)
             sig_l = jnp.kron(sig_l, eye2)
         return sig_h, sig_l
+
+    return embed
+
+
+@lru_cache(maxsize=None)
+def _bethe_contact_fn_dw(static_key, Xi_h, i: int):
+    """Double-word contact sigma: fn(params_dw, E_dw) -> (hi, lo) N x N."""
+    embed = _bethe_embed_dw(static_key, Xi_h, i)
+
+    def fn(params, E_dw):
+        p = params["contacts_dw"][i]
+        sh, sl = bethe_sigma_surface_dw(
+            E_dw, (p["H_hi"], p["H_lo"]), (p["S_hi"], p["S_lo"]),
+            (p["V_hi"], p["V_lo"]), p["eta_hi"])
+        return embed(sh, sl)
 
     return fn
 

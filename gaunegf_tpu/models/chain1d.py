@@ -75,7 +75,10 @@ def surface_g_sancho(A, B, conv=SURFACE_GREEN_CONVERGENCE, max_iter=64):
     # constant-seeded carries tied to A's shard_map varying-ness
     init = (A.astype(dt), A.astype(dt), B.astype(dt),
             jnp.conj(B).T.astype(dt),
-            zl._tie_vma(jnp.asarray(jnp.inf), A),
+            # pin the inf carry to the computation's real dtype (under
+            # x64 a bare inf is f64, mismatching an f32-input body)
+            zl._tie_vma(jnp.asarray(jnp.inf, jnp.zeros((), dt).real.dtype),
+                        A),
             zl._tie_vma(jnp.zeros((), jnp.int32), A))
     eps_s, *_ = lax.while_loop(cond, body, init)
     return _zinv(eps_s)
@@ -106,7 +109,8 @@ def surface_g_dyson(A, B, conv=SURFACE_GREEN_CONVERGENCE,
 
     count, diff, g = lax.while_loop(
         cond, body, (zl._tie_vma(jnp.zeros((), jnp.int32), A),
-                     zl._tie_vma(jnp.asarray(jnp.inf), A), _zinv(A)))
+                     zl._tie_vma(jnp.asarray(jnp.inf, jnp.real(A).dtype),
+                                 A), _zinv(A)))
     return g
 
 
@@ -207,14 +211,23 @@ def surface_g_sancho_dw(A_dw, B_dw, conv=SURFACE_GREEN_CONVERGENCE,
 
     Removes the single-word-Sigma floor (~6e-8 from evaluating the fixed
     point in f32) for energy-dependent chain contacts: every product is a
-    zmatmul_dw, every inverse a zinv_dw with an error-free final Newton
-    step, so the converged surface GF holds ~1e-12 relative accuracy on an
-    f32-only MXU.  Contact blocks are small (nc x nc), so the extra matmul
-    count is irrelevant next to the device-solve cost.
+    zmatmul_dw with an error-free Ozaki leading term, every inverse a
+    zinv_dw with an error-free final Newton step, so the converged surface
+    GF holds ~1e-12 relative accuracy on an f32-only MXU.  The exact
+    leading products are required, not a luxury: the recursion's
+    transients GROW (|al| can rise ~4x before the geometric decay sets
+    in) and eps_s accumulates every product error permanently -- with
+    zmatmul_dwf's ~8e-8 leading term the surface GF floors at ~2e-6,
+    with Ozaki it reaches ~2e-12 (bisected on the Au spd blocks).
+    Contact blocks are small (nc x nc), so the extra matmul count is
+    irrelevant next to the device-solve cost.
     """
     def ginv(M):
         return zl.zinv_dw(M[0], M[1], steps=inv_steps,
                           exact_steps=exact_steps)
+
+    def mm(X, Y):
+        return zl.zmatmul_dw(X, Y, exact=True)
 
     def cond(state):
         count, diff, *_ = state
@@ -223,12 +236,12 @@ def surface_g_sancho_dw(A_dw, B_dw, conv=SURFACE_GREEN_CONVERGENCE,
     def body(state):
         count, diff, eps_s, eps, al, be = state
         g = ginv(eps)
-        agb = zl.zmatmul_dw(al, zl.zmatmul_dw(g, be))
-        bga = zl.zmatmul_dw(be, zl.zmatmul_dw(g, al))
+        agb = mm(al, mm(g, be))
+        bga = mm(be, mm(g, al))
         eps_s_new = zl.cdw_sub(eps_s, agb)
         eps = zl.cdw_sub(zl.cdw_sub(eps, agb), bga)
-        al = zl.zmatmul_dw(al, zl.zmatmul_dw(g, al))
-        be = zl.zmatmul_dw(be, zl.zmatmul_dw(g, be))
+        al = mm(al, mm(g, al))
+        be = mm(be, mm(g, be))
         diff = jnp.max(jnp.abs(eps_s_new[0] - eps_s[0])) / jnp.maximum(
             jnp.max(jnp.abs(eps_s_new[0])), 1e-30)
         return (count + 1, diff, eps_s_new, eps, al, be)

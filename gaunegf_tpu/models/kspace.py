@@ -47,7 +47,8 @@ from gaunegf_tpu.ops import zlinalg as zl
 
 __all__ = ["monkhorst_pack_2d", "kspace_phases", "phases_for_frac",
            "little_group", "bz_reduce", "kspace_sigma_down",
-           "kspace_sigma_surface", "DOWN_DIRS"]
+           "kspace_sigma_surface", "kspace_sigma_down_dw",
+           "kspace_sigma_surface_dw", "DOWN_DIRS"]
 
 DOWN_DIRS = (3, 4, 5)                  # below-plane neighbour slots
 _UP_DIRS = (9, 10, 11)
@@ -374,8 +375,179 @@ def kspace_sigma_surface(E, H, Slist, Vlist, plane_ph, down_ph, eta=ETA,
     else:
         seed = sig0.astype(cdt)
     seed = zl._tie_vma(seed, A)
-    diff0 = zl._tie_vma(jnp.asarray(jnp.inf), A) \
+    rdt = jnp.zeros((), cdt).real.dtype
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf, rdt), A) \
         + 0.0 * jnp.real(jnp.sum(seed))
     count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A)
     _, _, sig = lax.while_loop(cond, body, (count0, diff0, seed))
     return sig, sig_down
+
+
+# ---------------------------------------------------------------------------
+# Double-word BZ integration (the 'high'/'exact' tiers' k-space Sigma)
+# ---------------------------------------------------------------------------
+
+def _dw_recip(d):
+    """Double-word reciprocal of a positive real scalar (traced): (hi, lo)
+    with hi + lo ~= 1/d to ~eps^2 (one Newton correction with the product
+    error captured by two_prod)."""
+    r = 1.0 / d
+    p, e = zl.two_prod(d, r)
+    return r, r * ((1.0 - p) - e)
+
+
+def _dw_recip_const(n):
+    """Exact two-float split of the host-known weight 1/n."""
+    r = 1.0 / float(n)
+    hi = np.float32(r)
+    lo = np.float32(r - np.float64(hi))
+    return hi, lo
+
+
+def _dw_ops(E_dw, H_dw, S_dw, V_dw, eta, cdt):
+    """dw Bloch-block ingredients: A_at = zE I - H (9, 9) and the 12
+    directional B_d = zE S_d - V_d, with zE = E + i eta captured exactly
+    (the +i eta retarded branch -- see the module docstring)."""
+    eta_c = jnp.asarray(1j, cdt) * jnp.asarray(eta, jnp.float32)
+    zh, e = zl.ctwo_sum(E_dw[0].astype(cdt), eta_c)
+    zE = (zh, E_dw[1].astype(cdt) + e)
+    eye = jnp.eye(DIM, dtype=cdt)
+    A_at = zl.cdw_sub(zl.cdw_smul(zE, (eye, jnp.zeros_like(eye))),
+                      (H_dw[0].astype(cdt), H_dw[1].astype(cdt)))
+    B_dirs = zl.cdw_sub(
+        zl.cdw_smul(zE, (S_dw[0].astype(cdt), S_dw[1].astype(cdt))),
+        (V_dw[0].astype(cdt), V_dw[1].astype(cdt)))
+    return A_at, B_dirs
+
+
+def _dw_sum0(X_dw):
+    """dw sum over axis 0 (compensated; trace-time loop, small stacks)."""
+    hi, lo = X_dw
+    h, l = hi[0], lo[0]
+    for k in range(1, hi.shape[0]):
+        h, e = zl.ctwo_sum(h, hi[k])
+        l = l + lo[k] + e
+    return h, l
+
+
+def kspace_sigma_down_dw(E_dw, H_dw, S_dw, V_dw, plane_ph_dw, down_ph_dw,
+                         eta=ETA, conv=1e-12, max_iter=64,
+                         sym_mask=None, sym_D_dw=None):
+    """BZ-averaged half-space self-energy in double-word arithmetic.
+
+    The dw twin of kspace_sigma_down: Bloch blocks are assembled from
+    exact (hi, lo) splits of the phases and SK matrices, each k point runs
+    chain1d.surface_g_sancho_dw (vmapped over k), and the average (or the
+    symmetry sandwich sum_r sum_o mask D_o M(k_r) D_o^T / Nk with a
+    dw-split D) is accumulated compensated.  Removes the f32 evaluation
+    floor for the 'high'/'exact' tiers' k-space contacts."""
+    from gaunegf_tpu.models.chain1d import surface_g_sancho_dw
+
+    cdt = jnp.result_type(E_dw[0].dtype, H_dw[0].dtype, jnp.complex64)
+    A_at, B_dirs = _dw_ops(E_dw, H_dw, S_dw, V_dw, eta, cdt)
+
+    nk = plane_ph_dw[0].shape[0]
+    Ah = jnp.broadcast_to(A_at[0], (nk, DIM, DIM))
+    Al = jnp.broadcast_to(A_at[1], (nk, DIM, DIM))
+    A_k = (Ah, Al)
+    for idx, d in enumerate(PLANE_DIRS):
+        ph = (plane_ph_dw[0][:, idx, None, None].astype(cdt),
+              plane_ph_dw[1][:, idx, None, None].astype(cdt))
+        A_k = zl.cdw_add2(A_k, zl.cdw_smul(
+            ph, (B_dirs[0][d][None], B_dirs[1][d][None])))
+    B_k = None
+    for idx, d in enumerate(DOWN_DIRS):
+        ph = (down_ph_dw[0][:, idx, None, None].astype(cdt),
+              down_ph_dw[1][:, idx, None, None].astype(cdt))
+        t = zl.cdw_smul(ph, (B_dirs[0][d][None], B_dirs[1][d][None]))
+        B_k = t if B_k is None else zl.cdw_add2(B_k, t)
+
+    def per_k(Ak, Bk):
+        g = surface_g_sancho_dw(Ak, Bk, conv, max_iter)
+        return zl.zmatmul_dw(
+            Bk, zl.zmatmul_dw(g, zl.cdw_conj_t(Bk), exact=True), exact=True)
+
+    sig = jax.vmap(per_k)(A_k, B_k)                        # ((Nk,9,9) hi, lo)
+
+    if sym_mask is None:
+        s = _dw_sum0(sig)
+        wh, wl = _dw_recip_const(nk)
+        w = (jnp.asarray(wh, cdt), jnp.asarray(wl, cdt))
+        return zl.cdw_smul(w, s)
+
+    m = jnp.asarray(sym_mask)
+    n_ops = m.shape[1]
+    out = None
+    for o in range(n_ops):
+        mo = m[:, o][:, None, None]
+        # mask entries are 0/1: the per-op masked sum is exact
+        So = _dw_sum0((sig[0] * mo.astype(cdt), sig[1] * mo.astype(cdt)))
+        Do = (sym_D_dw[0][o].astype(cdt), sym_D_dw[1][o].astype(cdt))
+        sand = zl.zmatmul_dw(
+            Do, zl.zmatmul_dw(So, zl.cdw_conj_t(Do), exact=True),
+            exact=True)
+        out = sand if out is None else zl.cdw_add2(out, sand)
+    # sum(mask) counts each full-grid point once == nk_full (exact small
+    # integers, so the traced sum and its dw reciprocal are clean)
+    denom = jnp.sum(jnp.real(m).astype(jnp.float32))
+    wh, wl = _dw_recip(denom)
+    return zl.cdw_smul((wh.astype(cdt), wl.astype(cdt)), out)
+
+
+def kspace_sigma_surface_dw(E_dw, H_dw, S_dw, V_dw, plane_ph_dw,
+                            down_ph_dw, eta=ETA, conv=1e-11,
+                            mix=SURFACE_BETHE_MIX,
+                            max_iter=SURFACE_MAX_ITER_BETHE,
+                            sym_mask=None, sym_D_dw=None):
+    """(sig_dirs, sig_down) for a k-integrated contact atom, double-word.
+
+    sig_down is the dw BZ average (kspace_sigma_down_dw); the 6 in-plane
+    directional sigmas are seeded from the converged single-word Jacobi
+    relaxation and re-iterated with the SAME map in dw arithmetic (the
+    bethe_sigma_surface_dw pattern) until stationary to ``conv``.
+    Returns ((9, 9, 9) dw stack with DOWN slots zeroed, (9, 9) dw)."""
+    from gaunegf_tpu.models.bethe import (
+        _cdw_blend, _cdw_diff, _zinv_dw_b)
+
+    sig_down = kspace_sigma_down_dw(
+        E_dw, H_dw, S_dw, V_dw, plane_ph_dw, down_ph_dw, eta,
+        sym_mask=sym_mask, sym_D_dw=sym_D_dw)
+    cdt = sig_down[0].dtype
+
+    # single-word seed (converged to ~f32 accuracy in c64; exact-split
+    # hi inputs reproduce the single-word path bit-for-bit)
+    sym_D_hi = None if sym_D_dw is None else sym_D_dw[0]
+    seed, _ = kspace_sigma_surface(
+        E_dw[0], H_dw[0], S_dw[0], V_dw[0], plane_ph_dw[0], down_ph_dw[0],
+        eta, mix=mix, max_iter=max_iter, sym_mask=sym_mask, sym_D=sym_D_hi)
+
+    A_at, B_dirs = _dw_ops(E_dw, H_dw, S_dw, V_dw, eta, cdt)
+    plane = jnp.asarray(PLANE_DIRS)
+    Bp = (B_dirs[0][plane], B_dirs[1][plane])
+    Bpd = (jnp.conj(jnp.swapaxes(Bp[0], -1, -2)),
+           jnp.conj(jnp.swapaxes(Bp[1], -1, -2)))
+
+    def cond(state):
+        count, diff, *_ = state
+        return (diff > conv) & (count < max_iter)
+
+    def body(state):
+        count, diff, sh, sl = state
+        tot = _dw_sum0((sh, sl))
+        M = zl.cdw_sub(zl.cdw_sub(A_at, sig_down), tot)
+        g = _zinv_dw_b(M)
+        prod = zl.zmatmul_dw(Bp, zl.zmatmul_dw(g, Bpd, exact=True),
+                             exact=True)
+        new = _cdw_blend(mix, prod, (sh[plane], sl[plane]))
+        nh = sh.at[plane].set(new[0])
+        nl = sl.at[plane].set(new[1])
+        return (count + 1, _cdw_diff((nh, nl), (sh, sl)), nh, nl)
+
+    rdt = jnp.zeros((), cdt).real.dtype
+    sh0 = zl._tie_vma(seed.astype(cdt), A_at[0])
+    sl0 = jnp.zeros_like(sh0)
+    diff0 = zl._tie_vma(jnp.asarray(jnp.inf, rdt), A_at[0]) \
+        + 0.0 * jnp.real(jnp.sum(sh0))
+    count0 = zl._tie_vma(jnp.zeros((), jnp.int32), A_at[0])
+    _, _, sh, sl = lax.while_loop(cond, body, (count0, diff0, sh0, sl0))
+    return (sh, sl), sig_down

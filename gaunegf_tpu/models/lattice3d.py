@@ -133,6 +133,52 @@ def _kspace_total_fn(static_key, Xi_h):
     return fn
 
 
+@lru_cache(maxsize=None)
+def _kspace_contact_fn_dw(static_key, Xi_h, i: int):
+    """Double-word k-space contact sigma: fn(params_dw, E_dw) -> dw (N, N).
+
+    The dw twin of _kspace_contact_fn: kspace_sigma_surface_dw supplies
+    the (stack, down) pair, the down term is parked in slot DOWN_DIRS[0]
+    and bethe._bethe_embed_dw performs the per-atom subtraction /
+    de-orthogonalization / spin expansion in (hi, lo)."""
+    from gaunegf_tpu.models.bethe import _bethe_embed_dw
+    from gaunegf_tpu.models.kspace import DOWN_DIRS, kspace_sigma_surface_dw
+
+    embed = _bethe_embed_dw(static_key, Xi_h, i)
+
+    def fn(params, E_dw):
+        p = params["contacts_dw"][i]
+        sym_D_dw = ((p["sym_D_hi"], p["sym_D_lo"])
+                    if "sym_D_hi" in p else None)
+        (sh, sl), (dh, dl) = kspace_sigma_surface_dw(
+            E_dw, (p["H_hi"], p["H_lo"]), (p["S_hi"], p["S_lo"]),
+            (p["V_hi"], p["V_lo"]),
+            (p["plane_ph_hi"], p["plane_ph_lo"]),
+            (p["down_ph_hi"], p["down_ph_lo"]), p["eta_hi"],
+            sym_mask=p.get("sym_mask"), sym_D_dw=sym_D_dw)
+        sh = sh.at[DOWN_DIRS[0]].set(dh)
+        sl = sl.at[DOWN_DIRS[0]].set(dl)
+        return embed(sh, sl)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _kspace_total_fn_dw(static_key, Xi_h):
+    from gaunegf_tpu.ops import zlinalg as zl
+
+    n_contacts = len(static_key[0])
+
+    def fn(params, E_dw):
+        sig = _kspace_contact_fn_dw(static_key, Xi_h, 0)(params, E_dw)
+        for i in range(1, n_contacts):
+            sig = zl.cdw_add2(
+                sig, _kspace_contact_fn_dw(static_key, Xi_h, i)(params, E_dw))
+        return sig
+
+    return fn
+
+
 def _kspace_warm_parts(static_key, Xi_h, i, params, E, st):
     """One warm contact evaluation: (embedded sigma (N, N), state').
 
@@ -200,7 +246,10 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
     bz_symmetry=False to reproduce pre-round-3 k-space numbers.  Both modes support the warm-started engine family; in
     k-space mode only the in-plane Jacobi relaxation carries across
     energies (the per-k decimation re-solves cold -- see
-    kspace.kspace_sigma_surface).
+    kspace.kspace_sigma_surface).  Both modes also serve the high/exact
+    tiers' double-word Sigma: gamma-point inherits the Bethe dw fixed
+    point, k-space runs kspace_sigma_surface_dw (dw Sancho per k + dw
+    symmetry sandwich).
     """
 
     _detector = staticmethod(_detect_contact_3d)
@@ -214,13 +263,6 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
         self.kspace = not gamma_point_only
         self.nk = int(nk)
         if self.kspace:
-            # no double-word path for the BZ-integrated mode yet: shadow
-            # the inherited Bethe dw methods so the high/exact engines
-            # fall back to the single-word sigma (same pattern as
-            # chain1d's method='dyson'); gamma-point mode inherits the
-            # Bethe dw fixed point unchanged.
-            self.total_apply_dw = None
-            self.contact_apply_dw = None
             # bz_symmetry: fold the surface BZ by the plane's validated
             # little group (C3v for fcc(111): ~3-6x fewer decimations,
             # exact -- kspace.bz_reduce).  Falls back to the full
@@ -271,6 +313,41 @@ class Lattice3DSelfEnergy(BetheSelfEnergy):
         i = i % len(self.g_list)
         return _kspace_contact_fn(self._static_key(),
                                   _HashableArray(self.Xi), i), self.params()
+
+    # double-word Sigma (the high/exact tiers): phases and the symmetry
+    # rep matrices carry their f64 information as exact two-float splits
+    def params_dw(self):
+        base = super().params_dw()
+        if not self.kspace:
+            return base
+        from gaunegf_tpu.models.bethe import _dw_split_host
+        contacts = []
+        for q0, (plane_ph, down_ph), sym in zip(base["contacts_dw"],
+                                                self._phases, self._syms):
+            q = dict(q0)
+            q["plane_ph_hi"], q["plane_ph_lo"] = _dw_split_host(plane_ph)
+            q["down_ph_hi"], q["down_ph_lo"] = _dw_split_host(down_ph)
+            if sym is not None:
+                mask, D = sym
+                q["sym_mask"] = np.asarray(mask, np.float32)
+                q["sym_D_hi"], q["sym_D_lo"] = _dw_split_host(D)
+            contacts.append(q)
+        return {"contacts_dw": tuple(contacts)}
+
+    def total_apply_dw(self):
+        if not self.kspace:
+            return super().total_apply_dw()
+        return (_kspace_total_fn_dw(self._static_key(),
+                                    _HashableArray(self.Xi)),
+                self.params_dw())
+
+    def contact_apply_dw(self, i):
+        if not self.kspace:
+            return super().contact_apply_dw(i)
+        i = i % len(self.g_list)
+        return (_kspace_contact_fn_dw(self._static_key(),
+                                      _HashableArray(self.Xi), i),
+                self.params_dw())
 
     # warm-started sweeps (k-space mode): carry the in-plane Jacobi stack
     # across energies; zero seed == the cold path's first iteration

@@ -149,3 +149,95 @@ def test_bz_reduction_exact():
             nk_full=nk_full))
         err = np.max(np.abs(red_s - full)) / np.max(np.abs(full))
         assert err < 1e-6, err    # f32-path tolerance; x64 reaches 1e-13
+
+
+# --- double-word BZ integration (the high/exact tiers) ---------------------
+
+def _dw_split(x):
+    x = np.asarray(x, dtype=np.complex128)
+    hi = x.astype(np.complex64)
+    lo = (x - hi.astype(np.complex128)).astype(np.complex64)
+    return hi, lo
+
+
+def _dw_scalar(E):
+    E = np.complex128(E)
+    hi = np.complex64(E)
+    lo = np.complex64(E - np.complex128(hi))
+    return hi, lo
+
+
+def test_sigma_down_dw_matches_c128():
+    """kspace_sigma_down_dw agrees with the single-word machinery run in
+    complex128 far below the f32 floor."""
+    p, n_vecs, Slist, Vlist = _au()
+    H = p.h0()
+    plane_ph, down_ph = ks.kspace_phases(n_vecs, 2)
+    for E in (-9.5 + 0.0j, -5.0 + 0.02j):
+        truth = np.asarray(ks.kspace_sigma_down(
+            np.complex128(E), H, Slist, Vlist, plane_ph, down_ph,
+            eta=1e-5, conv=1e-13))
+        dh, dl = ks.kspace_sigma_down_dw(
+            _dw_scalar(E), _dw_split(H), _dw_split(Slist), _dw_split(Vlist),
+            _dw_split(plane_ph), _dw_split(down_ph), np.float32(1e-5))
+        got = np.asarray(dh, np.complex128) + np.asarray(dl, np.complex128)
+        scale = np.max(np.abs(truth))
+        rel = np.max(np.abs(got - truth)) / scale
+        assert rel < 5e-9, (E, rel)
+        f32 = np.asarray(ks.kspace_sigma_down(
+            np.complex64(E), H.astype(np.float32),
+            Slist.astype(np.float32), Vlist.astype(np.float32),
+            plane_ph.astype(np.complex64), down_ph.astype(np.complex64),
+            eta=np.float32(1e-5))).astype(np.complex128)
+        rel_f32 = np.max(np.abs(f32 - truth)) / scale
+        assert rel < rel_f32 / 50, (rel, rel_f32)
+
+
+def test_sigma_surface_dw_matches_c128():
+    """The full dw surface stack (relaxed in-plane slots + dw half-space
+    term) lands on the complex128 fixed point."""
+    p, n_vecs, Slist, Vlist = _au()
+    H = p.h0()
+    plane_ph, down_ph = ks.kspace_phases(n_vecs, 2)
+    E = -9.5 + 0.01j
+    t_dirs, t_down = ks.kspace_sigma_surface(
+        np.complex128(E), H, Slist, Vlist, plane_ph, down_ph,
+        eta=1e-5, conv=1e-13, max_iter=5000)
+    (sh, sl), (dh, dl) = ks.kspace_sigma_surface_dw(
+        _dw_scalar(E), _dw_split(H), _dw_split(Slist), _dw_split(Vlist),
+        _dw_split(plane_ph), _dw_split(down_ph), np.float32(1e-5))
+    got_dirs = np.asarray(sh, np.complex128) + np.asarray(sl, np.complex128)
+    got_down = np.asarray(dh, np.complex128) + np.asarray(dl, np.complex128)
+    t_dirs, t_down = np.asarray(t_dirs), np.asarray(t_down)
+    rel_dirs = np.max(np.abs(got_dirs - t_dirs)) / np.max(np.abs(t_dirs))
+    rel_down = np.max(np.abs(got_down - t_down)) / np.max(np.abs(t_down))
+    assert rel_down < 5e-9, rel_down
+    assert rel_dirs < 5e-9, rel_dirs
+    for d in ks.DOWN_DIRS:                       # slots stay zeroed in dw
+        assert np.abs(got_dirs[d]).max() == 0.0
+
+
+def test_sigma_down_dw_sym_reduction_exact():
+    """dw symmetry-reduced average == dw full Gamma-centred grid (the
+    D-sandwich reassembly stays exact in double-word)."""
+    p, n_vecs, Slist, Vlist = _au()
+    H = p.h0()
+    nk = 4
+    frac_reps, mask, D, nk_full = ks.bz_reduce(n_vecs, nk)
+    ii, jj = np.meshgrid(np.arange(nk), np.arange(nk), indexing="ij")
+    frac_full = np.stack([ii.ravel() / nk, jj.ravel() / nk], axis=1)
+    frac_full = (frac_full + 0.5) % 1.0 - 0.5
+    ph_f = ks.phases_for_frac(n_vecs, frac_full)
+    ph_r = ks.phases_for_frac(n_vecs, frac_reps)
+    E = -5.0 + 0.01j
+    fh, fl = ks.kspace_sigma_down_dw(
+        _dw_scalar(E), _dw_split(H), _dw_split(Slist), _dw_split(Vlist),
+        _dw_split(ph_f[0]), _dw_split(ph_f[1]), np.float32(1e-4))
+    rh, rl = ks.kspace_sigma_down_dw(
+        _dw_scalar(E), _dw_split(H), _dw_split(Slist), _dw_split(Vlist),
+        _dw_split(ph_r[0]), _dw_split(ph_r[1]), np.float32(1e-4),
+        sym_mask=np.asarray(mask, np.float32), sym_D_dw=_dw_split(D))
+    full = np.asarray(fh, np.complex128) + np.asarray(fl, np.complex128)
+    red = np.asarray(rh, np.complex128) + np.asarray(rl, np.complex128)
+    rel = np.max(np.abs(red - full)) / np.max(np.abs(full))
+    assert rel < 1e-10, rel

