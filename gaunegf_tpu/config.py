@@ -142,6 +142,21 @@ class ExecutionConfig:
     # mixed tier's Newton polish absorbs the seed error); 'bf3' = three
     # explicit one-pass bf16 products (bit-masked splits).
     lu_trail: str = "hi"
+    # energy-grid solver family: 'lu' = per-point blocked LU (the round-1/2/3
+    # engines); 'spectral' = one host f64 eigh of the (H, S) pencil per Fock
+    # + rank-k Woodbury contact corrections per energy (O(N^2 k) per point
+    # instead of O(N^3); ops/spectral.py).  'spectral' silently falls back
+    # to 'lu' when the provider's Sigma is not (background + contact-block)
+    # or the pencil is not real-symmetric-definite.
+    solver: str = "lu"
+    # spectral route: minimum host-checked distance min|z - c0 - lam| at
+    # which the f32 assembly is safe; closer grids use the double-word
+    # assembly (near-pole Woodbury cancellation; see ops/spectral.py)
+    spectral_dist_f32: float = 1e-3
+    # below this distance even the dw assembly floors (~eps_dw * |D|);
+    # such points are individually routed through the LU engines (they are
+    # well-conditioned THERE: the contact coupling regularizes A)
+    spectral_dist_lu: float = 1e-5
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

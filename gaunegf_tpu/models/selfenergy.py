@@ -163,6 +163,11 @@ class ConstantSelfEnergy(_CompatMixin):
                                  for j in inds}))
         return tuple(int(j) for j in self.inds_list[i % len(self.inds_list)])
 
+    def total_block_apply(self, c):
+        """fn(params, E) -> Sigma_total[c, c] without materializing (N, N)
+        per energy point (the spectral route's per-point extraction)."""
+        return _const_total_block(tuple(int(j) for j in c))
+
     def set_fock(self, F, mu1=None, mu2=None):
         self.F = np.asarray(F)
 
@@ -196,4 +201,14 @@ def _const_total_dw(params, E):
 def _const_contact_dw(i: int):
     def fn(params, E):
         return params["sigs_hi"][i], params["sigs_lo"][i]
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _const_total_block(c: tuple):
+    import numpy as _np
+    cix = _np.asarray(c, dtype=_np.int64)
+
+    def fn(params, E):
+        return jnp.sum(params["sigs"][:, cix][:, :, cix], axis=0)
     return fn

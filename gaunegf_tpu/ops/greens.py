@@ -1542,6 +1542,9 @@ def _content_digest(tree):
     return (treedef, tuple(meta), h.hexdigest())
 
 
+_SPECTRAL_UNSET = object()
+
+
 class EnergyEngine:
     """Bound engine for a fixed (H, S, provider) system.
 
@@ -1552,6 +1555,11 @@ class EnergyEngine:
     def __init__(self, H, S, provider, exec_cfg: ExecutionConfig = _DEFAULT_EXEC,
                  mesh: Optional[Mesh] = None):
         self.provider = provider
+        # host f64 copies feed the spectral route's eigh (ops/spectral.py);
+        # kept as plain references (the basis cache digests content)
+        self._H_host = np.asarray(H)
+        self._S_host = np.asarray(S)
+        self._spectral = _SPECTRAL_UNSET
         if not exec_cfg.energy_chunk:
             exec_cfg = _auto_chunk_cfg(exec_cfg, np.asarray(H).shape[-1])
         self.exec_cfg = exec_cfg
@@ -1723,9 +1731,32 @@ class EnergyEngine:
 
         epilog='im': return Im(sum) as a real array, computed on device in
         the standard engine (halved transfer; see _build_sum_engine) and on
-        the host for the warm / continuation / double-word paths."""
+        the host for the warm / continuation / double-word / spectral
+        paths.
+
+        solver='spectral' routes through ops/spectral.py: the grid is
+        host-partitioned by pole distance -- the spectral dispatch serves
+        the bulk, and the few points inside spectral_dist_lu of a bare
+        eigenvalue (where the Woodbury assembly floors but the LU is
+        well-conditioned) get a second LU dispatch."""
         from gaunegf_tpu.utils.logging import perf_span
         self._log_dispatch("gr_sum", np.size(E))
+        runner = self._spectral_runner()
+        if runner is not None:
+            (Eg, wg), (Eb, wb) = runner.split_grid(E, w)
+            if Eg.size:
+                with perf_span("gr_sum_spectral", nE=Eg.size):
+                    out = runner.gr_sum(self.provider, self._params_split,
+                                        Eg, wg)
+                if out is not None:
+                    if Eb.size:
+                        out = out + self._gr_sum_lu(Eb, wb)
+                    return np.imag(out) if epilog == "im" else out
+        return self._gr_sum_lu(E, w, epilog)
+
+    def _gr_sum_lu(self, E, w, epilog=None):
+        """The LU engine family (warm / continuation / dw / mp / standard)."""
+        from gaunegf_tpu.utils.logging import perf_span
 
         def _ep(out):
             return np.imag(out) if epilog == "im" else out
@@ -1780,6 +1811,37 @@ class EnergyEngine:
         out = merge_host(out)
         return out.astype(np.float64) if epilog == "im" \
             else out.astype(np.complex128)
+
+    def _spectral_runner(self):
+        """Lazy spectral-route state; None when disabled or unavailable.
+
+        Engages for solver='spectral' on the single-word tiers (the dw
+        tiers keep their LU engines until a dw-sigma spectral variant
+        lands).  Availability is decided once per engine: the pencil must
+        be real-symmetric-definite and Sigma = c0*S + contact block
+        (ops/spectral.py detect_structure)."""
+        if self.exec_cfg.solver != "spectral" or self.high:
+            return None
+        if self.exec_cfg.precision == "strict":
+            return None
+        if self._spectral is _SPECTRAL_UNSET:
+            from gaunegf_tpu.ops.spectral import SpectralRunner
+            H_host = self._H_host if self._H_host is not None else None
+            if H_host is None:
+                self._spectral = None
+            else:
+                try:
+                    r = SpectralRunner(H_host, self._S_host, self.provider,
+                                       self.exec_cfg, self.mesh,
+                                       put_fn=self._put_cached)
+                    self._spectral = r if r.available else None
+                except Exception:
+                    self._spectral = None
+            if self._spectral is None:
+                from gaunegf_tpu.utils.logging import get_logger
+                get_logger("engine").debug(
+                    "spectral route unavailable; falling back to LU")
+        return self._spectral
 
     def _model_shards(self, dw_ok: bool = False) -> int:
         """Active 'm'-axis size for the column-sharded engine paths.

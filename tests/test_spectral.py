@@ -1,0 +1,214 @@
+"""Spectral (eigenbasis + Woodbury) engine route vs the LU engines.
+
+The spectral route (ops/spectral.py) must reproduce the LU engines' sums
+at its precision contract (f32+dw pipeline: ~5e-6) for constant AND
+energy-dependent contact self-energies, on serial and sharded meshes, and
+must fall back to the LU route whenever the structure detection
+disqualifies the provider.  Reference semantics: the sums are GrInt parity
+(gauNEGF/integrate.py:84-142); the route itself has no reference
+counterpart (the reference re-solves O(N^3) per energy point).
+"""
+
+import numpy as np
+import pytest
+
+from gaunegf_tpu.config import ExecutionConfig
+from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+from gaunegf_tpu.ops.greens import EnergyEngine
+from gaunegf_tpu.ops.spectral import detect_structure, spectral_basis
+from gaunegf_tpu.parallel.mesh import energy_mesh
+
+
+def _system(N=96, k_per=8, seed=0, overlap=False):
+    rng = np.random.default_rng(seed)
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1)) \
+        + np.diag(0.2 * rng.standard_normal(N))
+    if overlap:
+        B = rng.standard_normal((N, N)) / (10 * np.sqrt(N))
+        S = np.eye(N) + 0.5 * (B + B.T)
+    else:
+        S = np.eye(N)
+    inds = [np.arange(k_per), np.arange(N - k_per, N)]
+    return H, S, inds
+
+
+def _grids(nE=24):
+    th = np.linspace(0.1, np.pi - 0.1, nE)
+    zc = -1.0 + 1.5 * np.exp(1j * th)
+    wc = (0.3 + 0.1j) * np.ones(nE) / nE
+    zr = np.linspace(-1.5, 1.5, nE)
+    wr = np.ones(nE) / nE
+    return zc, wc, zr, wr
+
+
+def _relerr(a, b):
+    return np.abs(a - b).max() / np.abs(b).max()
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_spectral_matches_strict_constant_sigma(overlap):
+    H, S, inds = _system(overlap=overlap)
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    zc, wc, zr, wr = _grids()
+    truth_c = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zc, wc)
+    truth_r = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    assert eng._spectral_runner() is not None
+    assert _relerr(eng.gr_sum(zc, wc), truth_c) < 5e-6
+    assert _relerr(eng.gr_sum(zr, wr), truth_r) < 5e-6
+
+
+def test_spectral_sharded_matches_serial():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    zc, wc, _, _ = _grids()
+    serial = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral")).gr_sum(zc, wc)
+    sharded = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"),
+        energy_mesh()).gr_sum(zc, wc)
+    # per-device partial sums psum in f32: summation-order noise ~eps32
+    assert _relerr(sharded, serial) < 5e-7
+
+
+def test_spectral_forced_dw_mode():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    _, _, zr, wr = _grids()
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_dist_f32=1e9))
+    assert eng._spectral_runner()._mode(zr) == "dw"
+    assert _relerr(eng.gr_sum(zr, wr), truth) < 5e-6
+
+
+def test_spectral_near_pole_grid():
+    """Grid points near bare eigenvalues: one inside the dw band (1e-4,
+    exercises the double-word Woodbury cancellation) and one inside the
+    LU band (1e-7, floors even the dw assembly and must be re-routed
+    through a second LU dispatch by split_grid)."""
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    lam, _ = spectral_basis(H, S)
+    zr = np.linspace(-1.5, 1.5, 24)
+    zr[10] = lam[len(lam) // 2] + 1e-7
+    zr[15] = lam[len(lam) // 3] + 1e-4
+    wr = np.ones(24) / 24
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    runner = eng._spectral_runner()
+    (Eg, wg), (Eb, wb) = runner.split_grid(zr, wr)
+    assert Eb.size == 1 and abs(Eb[0] - zr[10]) < 1e-12
+    assert runner._mode(Eg) == "dw"
+    assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
+
+
+def test_spectral_chain_provider_energy_dependent():
+    """Energy-dependent chain Sigma through the spectral route: the k x k
+    block M(z) is re-evaluated per point (Sancho fixed point), only the
+    bare resolvent is spectral."""
+    from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
+    N = 40
+    H = -1.0 * (np.eye(N, k=1) + np.eye(N, k=-1))
+    S = np.eye(N)
+    inds = [np.arange(4), np.arange(N - 4, N)]
+    g = Chain1DSelfEnergy(H, S, inds, eta=1e-4)
+    zc = np.linspace(-1.0, 1.0, 12) + 0.05j
+    wc = np.ones(12) / 12
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zc, wc)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    assert eng._spectral_runner() is not None, \
+        "chain sigma must be detected as contact-block structured"
+    assert _relerr(eng.gr_sum(zc, wc), truth) < 2e-5
+
+
+def test_detection_rejects_leaky_sigma():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    rng = np.random.default_rng(1)
+    g._sigs = g._sigs + (-0.01j) * rng.standard_normal(g._sigs.shape[1:])
+    assert detect_structure(g, S) is None
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    assert eng._spectral_runner() is None
+    # the LU fallback still answers
+    zc, wc, _, _ = _grids(8)
+    out = eng.gr_sum(zc, wc)
+    assert np.isfinite(out).all()
+
+
+def test_fallback_no_contact_inds():
+    class NoInds:
+        def __init__(self, base):
+            self.base = base
+            self.F = np.zeros_like(base)
+            self.S = np.eye(base.shape[0])
+
+        def params(self):
+            return {"base": self.base}
+
+        def total_apply(self):
+            return _noinds_total, self.params()
+
+        def num_contacts(self):
+            return 2
+
+    H, S, _ = _system(32)
+    g = NoInds(H * 0.1)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    assert eng._spectral_runner() is None
+    zc, wc, _, _ = _grids(8)
+    assert np.isfinite(eng.gr_sum(zc, wc)).all()
+
+
+def _noinds_total(params, E):
+    import jax.numpy as jnp
+    n = params["base"].shape[0]
+    return params["base"] * (1 + 0.1 * E) - 1j * 0.05 * jnp.eye(n)
+
+
+def test_basis_rejects_complex_h():
+    H, S, _ = _system(32)
+    Hc = H.astype(complex)
+    Hc[0, 1] += 0.1j
+    Hc[1, 0] -= 0.1j
+    assert spectral_basis(Hc, S) is None
+
+
+def test_on_pole_point_falls_back_to_lu():
+    """c0 = 0 provider (no background) with a grid point numerically ON a
+    bare eigenvalue: split_grid must hand that point to the LU dispatch
+    and the combined result must match the strict path."""
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds)          # default: no background
+    lam, _ = spectral_basis(H, S)
+    zr = np.linspace(-1.5, 1.5, 12)
+    zr[4] = lam[30]
+    wr = np.ones(12) / 12
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    runner = eng._spectral_runner()
+    assert runner is not None
+    (Eg, _), (Eb, _) = runner.split_grid(zr, wr)
+    assert Eb.size == 1 and Eg.size == 11
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
+
+
+def test_solver_default_is_lu():
+    H, S, inds = _system(32)
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(precision="mixed",
+                                                energy_chunk=4))
+    assert eng._spectral_runner() is None
