@@ -272,6 +272,30 @@ def main():
         pts_trans = _median_rate(lambda: eng.transmission(E), n_E,
                                  repeats=3)
 
+    # --- spectral solver (round 4): one host eigh per Fock + rank-k
+    # Woodbury per point (ops/spectral.py).  Timed on the SAME grids; the
+    # headline takes the better of the two solvers (the metric is G(E)
+    # throughput at the mixed contract, solver-agnostic).  Falls back to
+    # the LU numbers if the route declines.
+    pts_1000_sp = pts_2000_sp = None
+    try:
+        with _stage("N=1000 spectral gr_sum"):
+            eng_sp = EnergyEngine(H, S, g, ExecutionConfig(
+                precision="mixed", energy_chunk=64, solver="spectral"))
+            if eng_sp._spectral_runner() is not None:
+                pts_1000_sp = _median_rate(lambda: eng_sp.gr_sum(E, w),
+                                           n_E, repeats=5)
+        with _stage("N=2000 spectral gr_sum"):
+            eng2_sp = EnergyEngine(H2, S2, g2, ExecutionConfig(
+                precision="mixed", energy_chunk=16, solver="spectral"))
+            if eng2_sp._spectral_runner() is not None:
+                pts_2000_sp = _median_rate(
+                    lambda: eng2_sp.gr_sum(E2, np.ones(n_E2)),
+                    n_E2, repeats=5)
+    except Exception as e:                       # never lose the LU numbers
+        print(f"# spectral solver stage failed: {e!r}", file=sys.stderr,
+              flush=True)
+
     # --- anchors: separate session variance from code regressions ------
     with _stage("anchors"):
         anchor_mm = _measure_anchor_matmul()
@@ -287,29 +311,39 @@ def main():
     anchor_ratio = (anchor_mm / ANCHOR_REF_MATMUL_GFLOPS
                     if ANCHOR_REF_MATMUL_GFLOPS else 1.0)
 
+    best_1000 = max(pts_1000, pts_1000_sp or 0.0)
+    best_2000 = max(pts_2000, pts_2000_sp or 0.0)
     print(json.dumps({
         "metric": "energy points/sec, 1000-orbital G(E) solves (mixed precision)",
-        "value": round(pts_1000, 2),
+        "value": round(best_1000, 2),
         "unit": "points/s",
-        "vs_baseline": round(pts_1000 / CPU_BASELINE_PTS_PER_SEC, 2),
+        "vs_baseline": round(best_1000 / CPU_BASELINE_PTS_PER_SEC, 2),
         "extra": {
+            "n1000_lu_pts_per_s": round(pts_1000, 2),
+            "n1000_spectral_pts_per_s":
+                None if pts_1000_sp is None else round(pts_1000_sp, 2),
+            "n2000_spectral_pts_per_s":
+                None if pts_2000_sp is None else round(pts_2000_sp, 2),
+            "headline_solver":
+                "spectral" if best_1000 != pts_1000 else "lu",
             "n2000_mixed_pts_per_s": round(pts_2000, 2),
             "n2000_mixed_im_pts_per_s": round(pts_2000_im, 2),
             "transmission_lowrank_pts_per_s": round(pts_trans, 2),
             "anchor_matmul_gflops": round(anchor_mm, 1),
             "anchor_solve_pts_per_s": round(anchor_solve, 2),
             "anchor_ratio": round(anchor_ratio, 4),
-            "value_normalized": round(pts_1000 / anchor_ratio, 2),
+            "value_normalized": round(best_1000 / anchor_ratio, 2),
             "n2000_mixed_normalized": round(pts_2000 / anchor_ratio, 2),
+            "n2000_best_normalized": round(best_2000 / anchor_ratio, 2),
             # North star: >=10x a 64-core CPU at N=2000 (modeled
             # denominator, see CPU_64CORE_N2000_EST).  The 8-chip
             # projection assumes linear energy-axis scaling: the sharded
             # engine is one psum of an (N,N) partial sum per dispatch
             # (sharded==serial proven by dryrun_multichip), so for long
             # grids the collective cost is amortized to ~0.
-            "vs_64core_est": round(pts_2000 / CPU_64CORE_N2000_EST, 2),
+            "vs_64core_est": round(best_2000 / CPU_64CORE_N2000_EST, 2),
             "vs_64core_est_8chip_proj": round(
-                8 * pts_2000 / CPU_64CORE_N2000_EST, 2),
+                8 * best_2000 / CPU_64CORE_N2000_EST, 2),
         },
     }))
 
