@@ -1747,11 +1747,11 @@ class EnergyEngine:
             if Eg.size:
                 with perf_span("gr_sum_spectral", nE=Eg.size):
                     out = runner.gr_sum(self.provider, self._params_split,
-                                        Eg, wg)
+                                        Eg, wg, epilog=epilog)
                 if out is not None:
                     if Eb.size:
-                        out = out + self._gr_sum_lu(Eb, wb)
-                    return np.imag(out) if epilog == "im" else out
+                        out = out + self._gr_sum_lu(Eb, wb, epilog)
+                    return out
         return self._gr_sum_lu(E, w, epilog)
 
     def _gr_sum_lu(self, E, w, epilog=None):
@@ -1877,7 +1877,26 @@ class EnergyEngine:
         return inds
 
     def gless_sum(self, E, w, contact: Optional[int] = None):
-        """sum_k w_k [G Gamma_i G^+](E_k); parity with integrate.GrLessInt."""
+        """sum_k w_k [G Gamma_i G^+](E_k); parity with integrate.GrLessInt.
+
+        solver='spectral': same host partition as gr_sum -- the sandwich
+        sum runs as stacked rank-k products in the eigenbasis, pathological
+        near-pole points ride a second LU dispatch."""
+        from gaunegf_tpu.utils.logging import perf_span
+        runner = self._spectral_runner()
+        if runner is not None:
+            (Eg, wg), (Eb, wb) = runner.split_grid(E, w)
+            if Eg.size:
+                with perf_span("gless_sum_spectral", nE=Eg.size):
+                    out = runner.gless_sum(self.provider, self._params_split,
+                                           Eg, wg, contact)
+                if out is not None:
+                    if Eb.size:
+                        out = out + self._gless_sum_lu(Eb, wb, contact)
+                    return out
+        return self._gless_sum_lu(E, w, contact)
+
+    def _gless_sum_lu(self, E, w, contact: Optional[int] = None):
         if self._use_warm():
             return self._warm_sum("gless", E, w, contact)
         fn, params = self.provider.total_apply()
@@ -1931,7 +1950,10 @@ class EnergyEngine:
         variant; model-sharded runs use the fused ('e', 'm') sibling."""
         self._log_dispatch("density_neq", np.size(E_eq) + np.size(E_neq))
         if (self._use_warm() or self.high
-                or self.exec_cfg.continuation is True):
+                or self.exec_cfg.continuation is True
+                or self._spectral_runner() is not None):
+            # spectral: two (cheap) spectral dispatches beat one fused LU
+            # dispatch; the eq leg ships only Im on device either way
             return (self.gr_sum(E_eq, w_eq, epilog="im")
                     + self.gless_sum(E_neq, w_neq, contact))
         from gaunegf_tpu.utils.logging import perf_span
@@ -1963,7 +1985,8 @@ class EnergyEngine:
         engines, or continuation disabled)."""
         use_split = (self.exec_cfg.continuation in ("contour", True)
                      and not self.high and not self._use_warm()
-                     and self._model_shards() == 1)
+                     and self._model_shards() == 1
+                     and self._spectral_runner() is None)
         if not use_split:
             E = np.concatenate([np.asarray(E_real, complex),
                                 np.asarray(E_contour, complex)])
@@ -1989,7 +2012,31 @@ class EnergyEngine:
         return merge_host(out).astype(np.float64)
 
     def transmission(self, E):
-        """T(E) over the grid (restricted channel)."""
+        """T(E) over the grid (restricted channel).
+
+        solver='spectral': T is evaluated entirely in the contact subspace
+        (O(N k^2) per point, no N x N work at all); near-pole points are
+        computed by the LU path and scattered back into place."""
+        from gaunegf_tpu.utils.logging import perf_span
+        runner = self._spectral_runner()
+        if runner is not None and getattr(self.provider, "contact_apply",
+                                          None) is not None:
+            E_arr = np.asarray(E, dtype=np.complex128)
+            bad = runner.bad_mask(E_arr)
+            if not bad.all():
+                with perf_span("transmission_spectral",
+                               nE=int((~bad).sum())):
+                    good_vals = runner.transmission(
+                        self.provider, self._params_split, E_arr[~bad])
+                if good_vals is not None:
+                    vals = np.empty(E_arr.size, dtype=np.float64)
+                    vals[~bad] = good_vals
+                    if bad.any():
+                        vals[bad] = self._transmission_lu(E_arr[bad])
+                    return vals
+        return self._transmission_lu(E)
+
+    def _transmission_lu(self, E):
         if self._use_warm():
             wfn, params, init = self.provider.contacts_warm_apply()
             init = self._cast_state(init)

@@ -236,32 +236,36 @@ def _cdw_smul_single(w, M_dw):
 # Per-point assembly
 # ---------------------------------------------------------------------------
 
-def _point_factors(e_dw, w, params, sig_tot_fn, sig_block_fn, c, bg_cc,
-                   basis, mode):
-    """One energy point -> (X, Z, or their dw pairs).
+def _sigma_block(e, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt):
+    """M(z) = Sigma_total[c, c] - c0*S[c, c], pinned to the TPU working
+    dtype even when params arrive in c128 (x64 CPU test runs): the route's
+    accuracy contract is the f32+dw pipeline on every backend."""
+    if sig_block_fn is not None:
+        M = sig_block_fn(params, e) - bg_cc
+    else:
+        sig = sig_tot_fn(params, e)
+        cix = np.asarray(c, dtype=np.int64)
+        M = sig[cix][:, cix] - bg_cc
+    return M.astype(cdt)
 
-    X = D Cc^T (N, k), Z = w * K (Cc D) (k, N); the caller stacks the
-    chunk and performs sum_j X_j Z_j as ONE matmul.  The k x k chain
-    (G0cc -> K) always runs double-word: it is O(N k^2) and carries the
+
+def _k_chain(e_dw, M, basis, mode):
+    """The per-point spectral Woodbury chain, shared by every kernel.
+
+    Returns (D, X_dw, Y_dw, G0, K): D = 1/(z'-lam) dw, X = D Cc^T (N, k),
+    Y = Cc D (k, N), G0 = Cc D Cc^T, K = (I - M G0)^{-1} M.  The k x k
+    chain always runs double-word: it is O(N k^2) and carries the
     near-pole Woodbury conditioning (f32 G0cc near a bare eigenvalue has
     O(|D| * eps) absolute error that a k x k inverse amplifies
-    catastrophically -- measured 8e-5 vs 2.4e-6 end to end)."""
+    catastrophically -- measured 8e-5 vs 2.4e-6 end to end).  For
+    mode='dw' the leading products are error-free (Ozaki) and the inverse
+    gets exact-residual steps: |D|-sized intermediates cancel to ~eps^2
+    (same lesson as surface_g_sancho_dw, models/chain1d.py)."""
     eh, el = e_dw
     lam_hi = basis["lam_hi"]
     lam_lo = basis["lam_lo"]
     Cc = basis["Cc"]                         # (k, N) real f32
     cdt = eh.dtype
-
-    if sig_block_fn is not None:
-        M = sig_block_fn(params, eh) - bg_cc
-    else:
-        sig = sig_tot_fn(params, eh)
-        cix = np.asarray(c, dtype=np.int64)
-        M = sig[cix][:, cix] - bg_cc
-    # pin the interior to the TPU working dtype even when params arrive in
-    # c128 (x64 CPU test runs): the route's accuracy contract is the f32+dw
-    # pipeline on every backend
-    M = M.astype(cdt)
 
     # D = 1/(z' - lam) in double-word (lam is the exact two-float split of
     # the f64 eigenvalues; z' arrives as a two-float split of the f64 grid)
@@ -274,15 +278,10 @@ def _point_factors(e_dw, w, params, sig_tot_fn, sig_block_fn, c, bg_cc,
     Cc_c = _as_cdw(Cc.astype(cdt))
     M_dw = _as_cdw(M)
 
-    # near-pole grids (mode='dw') carry |D|-sized intermediates whose
-    # Woodbury cancellation needs genuinely ~eps^2 products: error-free
-    # Ozaki leading terms and an exact-residual k x k inverse (same lesson
-    # as surface_g_sancho_dw, models/chain1d.py).  The O(N k^2) cost is
-    # irrelevant next to the O(N^2 k) outer product.
     exact = mode != "f32"
     G0 = zl.zmatmul_dw(Cc_c, X_dw, exact=exact)          # (k, k) dw
     MG = zl.zmatmul_dw(M_dw, G0, exact=exact)
-    k = len(c)
+    k = Cc.shape[0]
     eye = jnp.eye(k, dtype=cdt)
     A = zl.cdw_sub(_as_cdw(eye), MG)
     if exact:
@@ -290,13 +289,88 @@ def _point_factors(e_dw, w, params, sig_tot_fn, sig_block_fn, c, bg_cc,
     else:
         Ai = zl.zinv_dw(A[0], A[1], steps=2)
     K = zl.zmatmul_dw(Ai, M_dw, exact=exact)             # (k, k) dw
+    return D, X_dw, Y_dw, G0, K
 
+
+def _point_factors(e_dw, w, params, sig_tot_fn, sig_block_fn, c, bg_cc,
+                   basis, mode):
+    """One retarded-sum point -> (X, Z (or dw pairs), D, w).
+
+    X = D Cc^T (N, k), Z = w * K (Cc D) (k, N); the caller stacks the
+    chunk and performs sum_j X_j Z_j as ONE matmul."""
+    eh, _ = e_dw
+    M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc,
+                     eh.dtype)
+    D, X_dw, Y_dw, _, K = _k_chain(e_dw, M, basis, mode)
+    exact = mode != "f32"
     Z_dw = _cdw_smul_single(
         w, zl.zmatmul_dw(K, Y_dw, exact=exact))          # (k, N) dw
-
     if mode == "f32":
         return X_dw[0], Z_dw[0] + Z_dw[1], D, w
     return X_dw, Z_dw, D, w
+
+
+def _point_gless_factors(e_dw, w, params, sig_tot_fn, sig_block_fn,
+                         gamma_fn, c, bg_cc, basis, mode):
+    """One G< point -> (Xt, R): G Gamma G^H = C [Xt (w Gamma) Xt^H] C^T.
+
+    Xt = G P_c in the eigenbasis = D Cc^T (I + K G0cc) (N, k); Gamma is
+    i(sig_c - sig_c^H) on the contact block (the broadening background's
+    ~1e-9 Gamma is neglected, matching _point_gless_weighted_lowrank).
+    R = (w Gamma) Xt^H so the chunk stacks into ONE (N, ch k)@(ch k, N)."""
+    eh, _ = e_dw
+    cdt = eh.dtype
+    M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt)
+    _, X_dw, _, G0, K = _k_chain(e_dw, M, basis, mode)
+    exact = mode != "f32"
+    k = len(c)
+    eye = jnp.eye(k, dtype=cdt)
+    T_k = zl.cdw_add2(_as_cdw(eye),
+                      zl.zmatmul_dw(K, G0, exact=exact))   # I + K G0cc
+    Xt = zl.zmatmul_dw(X_dw, T_k, exact=exact)             # (N, k) dw
+    if gamma_fn is not None:
+        sig_c = gamma_fn(params, eh)
+        cix = np.asarray(c, dtype=np.int64)
+        blk = sig_c[cix][:, cix].astype(cdt)
+    else:
+        blk = M
+    gamma = (1j * (blk - jnp.conj(blk).T)).astype(cdt)
+    R = zl.zmatmul_dw(_cdw_smul_single(w, _as_cdw(gamma)),
+                      zl.cdw_conj_t(Xt), exact=exact)      # (k, N) dw
+    if mode == "f32":
+        return Xt[0], R[0] + R[1]
+    return Xt, R
+
+
+def _point_transmission_sp(e_dw, params, sig_tot_fn, sig_block_fn,
+                           g1_fn, g2_fn, c, c1, c2, bg_cc, basis, mode):
+    """T(E) entirely in the contact subspace: O(N k^2) per point.
+
+    Gcc = G0cc + G0cc K G0cc; T = Re tr(Gamma1 Gcc[p1, p2] Gamma2
+    Gcc[p1, p2]^H) with p1/p2 the positions of c1/c2 inside the union
+    support (parity with _point_transmission_lowrank, which neglects the
+    broadening background's Gamma).  The whole point is O(N k^2) -- there
+    is no heavy term to protect, so the assembly always runs with exact
+    leading products regardless of the grid mode (f32 Gcc assembly costs
+    ~1e-5 on T via trace cancellation; exact holds ~1e-7)."""
+    eh, _ = e_dw
+    cdt = eh.dtype
+    M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt)
+    _, _, _, G0, K = _k_chain(e_dw, M, basis, "dw")
+    Gcc = zl.cdw_add2(G0, zl.zmatmul_dw(
+        G0, zl.zmatmul_dw(K, G0, exact=True), exact=True))
+    G = Gcc[0] + Gcc[1]
+    pos = {j: i for i, j in enumerate(c)}
+    p1 = np.asarray([pos[int(j)] for j in c1], dtype=np.int64)
+    p2 = np.asarray([pos[int(j)] for j in c2], dtype=np.int64)
+    G12 = G[p1][:, p2]
+    s1 = g1_fn(params, eh)
+    s2 = g2_fn(params, eh)
+    ix1 = np.ix_(np.asarray(c1), np.asarray(c1))
+    ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
+    gamma1 = (1j * (s1[ix1] - jnp.conj(s1[ix1]).T)).astype(cdt)
+    gamma2 = (1j * (s2[ix2] - jnp.conj(s2[ix2]).T)).astype(cdt)
+    return jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
 
 
 def _chunk_corr(Xs, Zs, mode):
@@ -362,13 +436,28 @@ def _rotate(basis, Shat_dw, diag_dw, mode):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _build_spectral_gr_engine(sig_tot_fn, sig_block_fn, c: tuple,
-                              exec_cfg: ExecutionConfig,
-                              mesh: Optional[Mesh], mode: str):
-    """Jitted engine: (params_s, basis, bg_cc_s, E_dw_s, w_s) -> dw split sum.
+def _build_spectral_sum_engine(kind: str, sig_tot_fn, sig_block_fn,
+                               gamma_fn, c: tuple,
+                               exec_cfg: ExecutionConfig,
+                               mesh: Optional[Mesh], mode: str,
+                               epilog=None):
+    """Jitted sum engine: (params_s, basis, bg_cc_s, E_dw_s, w_s) -> split.
 
-    E layout (nd, nch, ch) as a two-float split of the f64 grid; returns the
-    double-word pair of sum_j w_j G(E_j) as split-complex leaves."""
+    kind='gr': sum_j w_j G(E_j) (bare-resolvent diagonal + rank-k
+    corrections); kind='gless': sum_j w_j [G Gamma G^H](E_j) (sandwich
+    only, no diagonal term).  E layout (nd, nch, ch) as a two-float split
+    of the f64 grid.  The output collapses hi+lo into one split-complex
+    array (or its imaginary part for epilog='im', halving the transfer:
+    the single-word tiers cannot represent the lo part anyway)."""
+
+    def point(e_dw, w, params, bg_cc, basis):
+        if kind == "gr":
+            return _point_factors(e_dw, w, params, sig_tot_fn,
+                                  sig_block_fn, c, bg_cc, basis, mode)
+        Xt, R = _point_gless_factors(e_dw, w, params, sig_tot_fn,
+                                     sig_block_fn, gamma_fn, c, bg_cc,
+                                     basis, mode)
+        return Xt, R, None, None
 
     def device_body(params, basis, bg_cc, E_dw, w, varying=False):
         N = basis["C_hi"].shape[0]
@@ -377,17 +466,19 @@ def _build_spectral_gr_engine(sig_tot_fn, sig_block_fn, c: tuple,
 
         def scan_fn(carry, inputs):
             eh, el, wb = inputs
-            Xs, Zs, Ds, ws = jax.vmap(
-                lambda a, b, ww: _point_factors(
-                    (a, b), ww, params, sig_tot_fn, sig_block_fn, c, bg_cc,
-                    basis, mode))(eh, el, wb)
+            Xs, Zs, Ds, _ = jax.vmap(
+                lambda a, b, ww: point((a, b), ww, params, bg_cc,
+                                       basis))(eh, el, wb)
             corr = _chunk_corr(Xs, Zs, mode)
-            dsum = _chunk_diag(Ds, wb, mode)
             (Sh, Sl), (gh, gl) = carry
             Sh2, e = zl.ctwo_sum(Sh, corr[0])
             Sl2 = Sl + corr[1] + e
-            gh2, eg = zl.ctwo_sum(gh, dsum[0])
-            gl2 = gl + dsum[1] + eg
+            if kind == "gr":
+                dsum = _chunk_diag(Ds, wb, mode)
+                gh2, eg = zl.ctwo_sum(gh, dsum[0])
+                gl2 = gl + dsum[1] + eg
+            else:
+                gh2, gl2 = gh, gl
             return ((Sh2, Sl2), (gh2, gl2)), None
 
         z2 = (jnp.zeros((N, N), cdt), jnp.zeros((N, N), cdt))
@@ -401,7 +492,8 @@ def _build_spectral_gr_engine(sig_tot_fn, sig_block_fn, c: tuple,
 
     def finalize(basis, Shat, diag):
         Ph, Pl = _rotate(basis, Shat, diag, mode)
-        return split_traced((Ph, Pl))
+        out = Ph + Pl
+        return split_traced(jnp.imag(out) if epilog == "im" else out)
 
     if mesh is None:
         @jax.jit
@@ -429,6 +521,49 @@ def _build_spectral_gr_engine(sig_tot_fn, sig_block_fn, c: tuple,
             in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
             out_specs=P(),
         )(params_s, basis, bg_cc_s, E_s, w_s)
+
+    return engine
+
+
+@lru_cache(maxsize=None)
+def _build_spectral_trans_engine(sig_tot_fn, sig_block_fn, g1_fn, g2_fn,
+                                 c: tuple, c1: tuple, c2: tuple,
+                                 exec_cfg: ExecutionConfig,
+                                 mesh: Optional[Mesh], mode: str):
+    """Jitted map engine: per-point T(E) with O(N k^2) work per point."""
+
+    def device_body(params, basis, bg_cc, E_dw):
+        Eh, El = E_dw
+
+        def scan_fn(_, inputs):
+            eh, el = inputs
+            vals = jax.vmap(
+                lambda a, b: _point_transmission_sp(
+                    (a, b), params, sig_tot_fn, sig_block_fn, g1_fn, g2_fn,
+                    c, c1, c2, bg_cc, basis, mode))(eh, el)
+            return None, vals
+
+        _, vals = lax.scan(scan_fn, None, (Eh, El))
+        return vals                          # (nch, ch) real
+
+    if mesh is None:
+        @jax.jit
+        def engine(params_s, basis, bg_cc_s, E_s):
+            params, bg_cc, (Eh, El) = merge_tree((params_s, bg_cc_s, E_s))
+            return device_body(params, basis, bg_cc, (Eh[0], El[0]))[None]
+        return engine
+
+    @jax.jit
+    def engine(params_s, basis, bg_cc_s, E_s):
+        def per_device(params_s, basis, bg_cc_s, E_s):
+            params, bg_cc, (Eh, El) = merge_tree((params_s, bg_cc_s, E_s))
+            return device_body(params, basis, bg_cc, (Eh[0], El[0]))[None]
+
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(ENERGY_AXIS)),
+            out_specs=P(ENERGY_AXIS),
+        )(params_s, basis, bg_cc_s, E_s)
 
     return engine
 
@@ -502,17 +637,20 @@ class SpectralRunner:
         dmin = d[ok].min()
         return "f32" if dmin >= self.exec_cfg.spectral_dist_f32 else "dw"
 
+    def bad_mask(self, E):
+        """Per-point mask of grid points the spectral route must NOT serve
+        (closer than dist_lu to a bare eigenvalue: even the dw Woodbury
+        assembly floors at ~eps_dw * |D| there, while the LU engines are
+        well-conditioned -- the contact coupling regularizes A)."""
+        return self._dists(E) < self.exec_cfg.spectral_dist_lu
+
     def split_grid(self, E, w):
         """Partition (E, w) into the spectral part and the LU-fallback part.
 
-        Points closer than dist_lu to a bare eigenvalue floor even the dw
-        Woodbury assembly at ~eps_dw * |D| -- but they are well-conditioned
-        for the LU engines (the contact coupling regularizes A there), so
-        the caller solves them with a second LU dispatch.  Returns
-        ((E_sp, w_sp), (E_lu, w_lu)); E_sp may be empty."""
+        Returns ((E_sp, w_sp), (E_lu, w_lu)); E_sp may be empty."""
         E = np.asarray(E, dtype=np.complex128)
         w = np.asarray(w, dtype=np.complex128)
-        bad = self._dists(E) < self.exec_cfg.spectral_dist_lu
+        bad = self.bad_mask(E)
         return (E[~bad], w[~bad]), (E[bad], w[bad])
 
     def _dw_split_grid(self, E_lay):
@@ -520,14 +658,21 @@ class SpectralRunner:
         lo = (E_lay - hi.astype(np.complex128)).astype(np.complex64)
         return (split_tree(hi, np.complex64), split_tree(lo, np.complex64))
 
-    def gr_sum(self, provider, params_split_fn, E, w):
-        """sum_j w_j G(E_j) -> (N, N) complex128 host array."""
-        from gaunegf_tpu.ops.complexio import merge_host
-        from gaunegf_tpu.ops.greens import _layout
-
+    def _fns(self, provider):
         fn, params = provider.total_apply()
         block = getattr(provider, "total_block_apply", None)
         block_fn = block(self.c) if block is not None else None
+        return fn, block_fn, params
+
+    def _sum(self, kind, provider, params_split_fn, E, w, contact=None,
+             epilog=None):
+        from gaunegf_tpu.ops.complexio import merge_host
+        from gaunegf_tpu.ops.greens import _layout
+
+        fn, block_fn, params = self._fns(provider)
+        gamma_fn = None
+        if kind == "gless" and contact is not None:
+            gamma_fn, params = provider.contact_apply(contact)
         E = np.asarray(E, dtype=np.complex128)
         mode = self._mode(E)
         if mode is None:
@@ -535,10 +680,50 @@ class SpectralRunner:
         E_lay, w_lay, _, _ = _layout(E - self.c0,
                                      np.asarray(w, dtype=np.complex128),
                                      self.mesh, self.exec_cfg.energy_chunk)
-        eng = _build_spectral_gr_engine(fn, block_fn, self.c, self.exec_cfg,
-                                        self.mesh, mode)
-        out = eng(params_split_fn(params), self.basis, self.bg_cc_s,
-                  self._dw_split_grid(E_lay),
-                  split_tree(w_lay.astype(np.complex64), np.complex64))
-        hi, lo = merge_host(out)
-        return hi.astype(np.complex128) + lo.astype(np.complex128)
+        eng = _build_spectral_sum_engine(kind, fn, block_fn, gamma_fn,
+                                         self.c, self.exec_cfg, self.mesh,
+                                         mode, epilog)
+        out = merge_host(eng(
+            params_split_fn(params), self.basis, self.bg_cc_s,
+            self._dw_split_grid(E_lay),
+            split_tree(w_lay.astype(np.complex64), np.complex64)))
+        return out.astype(np.float64 if epilog == "im" else np.complex128)
+
+    def gr_sum(self, provider, params_split_fn, E, w, epilog=None):
+        """sum_j w_j G(E_j) -> (N, N) host array (imag part for 'im')."""
+        return self._sum("gr", provider, params_split_fn, E, w,
+                         epilog=epilog)
+
+    def gless_sum(self, provider, params_split_fn, E, w, contact=None):
+        """sum_j w_j [G Gamma_c G^H](E_j) -> (N, N) complex128."""
+        return self._sum("gless", provider, params_split_fn, E, w,
+                         contact=contact)
+
+    def transmission(self, provider, params_split_fn, E):
+        """Per-point T(E) -> (len(E),) float64, or None if ineligible.
+
+        The caller must have removed bad_mask points already (T is a map,
+        not a sum: pathological points cannot be folded into a second
+        dispatch here)."""
+        from gaunegf_tpu.ops.complexio import merge_host
+        from gaunegf_tpu.ops.greens import _layout, _unlayout
+
+        c1 = tuple(int(j) for j in provider.contact_inds(0))
+        c2 = tuple(int(j) for j in provider.contact_inds(-1))
+        if not (set(c1) <= set(self.c) and set(c2) <= set(self.c)):
+            return None
+        fn, block_fn, params = self._fns(provider)
+        g1, _ = provider.contact_apply(0)
+        g2, _ = provider.contact_apply(-1)
+        E = np.asarray(E, dtype=np.complex128)
+        mode = self._mode(E)
+        if mode is None:
+            return None
+        E_lay, _, n, _ = _layout(E - self.c0, None, self.mesh,
+                                 self.exec_cfg.energy_chunk)
+        eng = _build_spectral_trans_engine(fn, block_fn, g1, g2, self.c,
+                                           c1, c2, self.exec_cfg,
+                                           self.mesh, mode)
+        out = merge_host(eng(params_split_fn(params), self.basis,
+                             self.bg_cc_s, self._dw_split_grid(E_lay)))
+        return _unlayout(np.asarray(out), n).astype(np.float64)

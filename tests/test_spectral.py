@@ -206,6 +206,58 @@ def test_on_pole_point_falls_back_to_lu():
     assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
 
 
+def test_spectral_gless_matches_strict():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    _, _, zr, wr = _grids()
+    for contact in (None, 0, 1):
+        truth = EnergyEngine(H, S, g, ExecutionConfig(
+            precision="strict", energy_chunk=4)).gless_sum(zr, wr, contact)
+        eng = EnergyEngine(H, S, g, ExecutionConfig(
+            precision="mixed", energy_chunk=4, solver="spectral"))
+        got = eng.gless_sum(zr, wr, contact)
+        assert _relerr(got, truth) < 5e-6, contact
+
+
+def test_spectral_transmission_matches_strict():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    lam, _ = spectral_basis(H, S)
+    E = np.linspace(-1.8, 1.8, 32)
+    E[7] = lam[40] + 1e-7          # LU-band point, scattered back in place
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).transmission(E)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    got = eng.transmission(E)
+    assert got.shape == truth.shape
+    assert np.abs(got - truth).max() / np.abs(truth).max() < 2e-5
+
+
+def test_spectral_gr_sum_im_epilog():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    zc, wc, _, _ = _grids()
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    full = eng.gr_sum(zc, wc)
+    im = eng.gr_sum(zc, wc, epilog="im")
+    assert im.dtype == np.float64
+    assert np.abs(im - np.imag(full)).max() <= 1e-6 * np.abs(full).max()
+
+
+def test_spectral_density_neq_matches_lu():
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    zc, wc, zr, wr = _grids(12)
+    lu = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4)).density_neq_sum(zc, wc, zr, wr)
+    sp = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4,
+        solver="spectral")).density_neq_sum(zc, wc, zr, wr)
+    assert _relerr(sp, lu) < 1e-5
+
+
 def test_solver_default_is_lu():
     H, S, inds = _system(32)
     g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
