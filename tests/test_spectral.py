@@ -258,6 +258,31 @@ def test_spectral_density_neq_matches_lu():
     assert _relerr(sp, lu) < 1e-5
 
 
+def test_spectral_negfe_scf_matches_default():
+    """Production path: a full NEGFE SCF with solver='spectral' converges
+    to the same density as the default LU solver (eigh per cycle, fresh
+    detection per rebuilt Fock)."""
+    from gaunegf_tpu.models.fock import TightBindingFock
+    from gaunegf_tpu.scfe import NEGFE
+
+    def run(cfg):
+        n = 12
+        H0 = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1))
+        b = TightBindingFock(H0, n_electrons=n, U=0.4, n0=0.5 * np.ones(n))
+        d = NEGFE(b, name="/tmp/spectral_scf", exec_cfg=cfg, verbose=False)
+        d.setSigma([1, 2], [n - 1, n], sig=-0.1j, T=0)
+        d.setIntegralLimits(N1=32, N2=16)
+        d.setVoltage(0.0, fermi=0.05)
+        d.SCF(conv=1e-6, damping=0.1, max_cycles=120, checkpoint=False)
+        return d.P
+
+    P_lu = run(ExecutionConfig(precision="mixed", energy_chunk=4))
+    P_sp = run(ExecutionConfig(precision="mixed", energy_chunk=4,
+                               solver="spectral"))
+    # both converged to 1e-6; residual difference is per-dispatch accuracy
+    assert np.abs(P_lu - P_sp).max() < 2e-5
+
+
 def test_solver_default_is_lu():
     H, S, inds = _system(32)
     g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
