@@ -278,17 +278,22 @@ def main():
     # throughput at the mixed contract, solver-agnostic).  Falls back to
     # the LU numbers if the route declines.
     pts_1000_sp = pts_2000_sp = None
+    eigh_s_1000 = eigh_s_2000 = None
     try:
         with _stage("N=1000 spectral gr_sum"):
+            t0 = time.time()
             eng_sp = EnergyEngine(H, S, g, ExecutionConfig(
                 precision="mixed", energy_chunk=64, solver="spectral"))
             if eng_sp._spectral_runner() is not None:
+                eigh_s_1000 = round(time.time() - t0, 1)  # once per Fock
                 pts_1000_sp = _median_rate(lambda: eng_sp.gr_sum(E, w),
                                            n_E, repeats=5)
         with _stage("N=2000 spectral gr_sum"):
+            t0 = time.time()
             eng2_sp = EnergyEngine(H2, S2, g2, ExecutionConfig(
                 precision="mixed", energy_chunk=16, solver="spectral"))
             if eng2_sp._spectral_runner() is not None:
+                eigh_s_2000 = round(time.time() - t0, 1)
                 pts_2000_sp = _median_rate(
                     lambda: eng2_sp.gr_sum(E2, np.ones(n_E2)),
                     n_E2, repeats=5)
@@ -324,6 +329,10 @@ def main():
                 None if pts_1000_sp is None else round(pts_1000_sp, 2),
             "n2000_spectral_pts_per_s":
                 None if pts_2000_sp is None else round(pts_2000_sp, 2),
+            # host eigh + detection, paid once per Fock matrix (amortized
+            # across an SCF cycle's grids; excluded from the rates above)
+            "spectral_setup_s_n1000": eigh_s_1000,
+            "spectral_setup_s_n2000": eigh_s_2000,
             "headline_solver":
                 "spectral" if best_1000 != pts_1000 else "lu",
             "n2000_mixed_pts_per_s": round(pts_2000, 2),

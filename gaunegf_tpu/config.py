@@ -157,6 +157,11 @@ class ExecutionConfig:
     # such points are individually routed through the LU engines (they are
     # well-conditioned THERE: the contact coupling regularizes A)
     spectral_dist_lu: float = 1e-5
+    # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK,
+    # the accuracy reference) or 'device' (f32 XLA eigh + Ogita-Aishima
+    # double-word refinement, all-MXU -- for hosts whose serial eigh would
+    # bottleneck the SCF cycle at N >~ 1500)
+    spectral_basis: str = "host"
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

@@ -193,6 +193,167 @@ def spectral_supported(provider, H, S):
 
 
 # ---------------------------------------------------------------------------
+# Device-side basis: f32 eigh seed + Ogita-Aishima double-word refinement
+# ---------------------------------------------------------------------------
+
+_SM12_CACHE: dict = {}
+
+
+def _s_m12_host(S):
+    """Host f64 S^{-1/2} (once per run -- the overlap never changes across
+    SCF cycles), cached by content digest."""
+    S = np.asarray(S, dtype=np.float64)
+    key = _digest(S)
+    hit = _SM12_CACHE.get(key)
+    if hit is not None:
+        return hit
+    w, U = np.linalg.eigh(S)
+    if w.min() <= 0:
+        return None
+    M = (U / np.sqrt(w)[None, :]) @ U.T
+    if len(_SM12_CACHE) >= 4:
+        _SM12_CACHE.pop(next(iter(_SM12_CACHE)))
+    _SM12_CACHE[key] = M
+    return M
+
+
+def _dw_split_real(x):
+    x = np.asarray(x, dtype=np.float64)
+    hi = x.astype(np.float32)
+    return hi, (x - hi.astype(np.float64)).astype(np.float32)
+
+
+def _mm_dw_real(a_dw, b_dw, exact=True):
+    """Real double-word matmul.
+
+    exact=True (default): error-free Ozaki leading product -- the
+    double-float scheme only removes input representation error, NOT the
+    f32 accumulation error of the partial matmuls (~1e-7 rel, measured:
+    it capped the OA refinement at seed quality), while the Ozaki slices
+    are exact on the MXU."""
+    ah, al = a_dw
+    bh, bl = b_dw
+    if exact:
+        h, l = zl.matmul_ozaki_real(ah, bh)
+    else:
+        h, l = zl._matmul_hp_real(ah, bh)
+    cross = (jnp.matmul(ah, bl, precision=_HIGHEST)
+             + jnp.matmul(al, bh, precision=_HIGHEST))
+    hh, e = zl.two_sum(h, cross)
+    return hh, l + e
+
+
+def _dw_recip_real(w_dw):
+    wh, wl = w_dw
+    r0 = 1.0 / wh
+    p, pe = zl.two_prod(wh, r0)
+    e = (1.0 - p) - (pe + wl * r0)
+    t, te = zl.two_sum(r0, r0 * e)
+    return t, te
+
+
+@lru_cache(maxsize=None)
+def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
+                           cluster_tol: float):
+    """Jitted device basis: (H_dw, [Sm12_dw]) -> (lam_dw, C_dw).
+
+    f32 eigh seed (XLA QDWH on TPU, LAPACK on CPU) + Ogita-Aishima
+    refinement with double-word residual matmuls:
+
+        R = I - X^T X,  S = X^T A X        (dw products)
+        lam_i = S_ii / (1 - R_ii)          (dw)
+        E_ij  = (S_ij + lam_j R_ij) / (lam_j - lam_i)   separated pairs
+        E_ij  = R_ij / 2                    clusters (orthonormalize only:
+                                            any orthonormal cluster basis
+                                            is equivalent for the RESOLVENT)
+        X <- X + X E
+
+    Prototype-measured: orthogonality ~7e-14, lam ~5e-13, resolvent ~7e-8
+    after one step incl. exact 4-fold degeneracies -- below the mixed
+    tier's floor, so the device basis serves fast/mixed without the host
+    eigh (the host f64 basis remains the default and the high-accuracy
+    option)."""
+
+    def oa_step(A_dw, X_dw):
+        Xt = (X_dw[0].T, X_dw[1].T)
+        AX = _mm_dw_real(A_dw, X_dw)
+        S = _mm_dw_real(Xt, AX)
+        XtX = _mm_dw_real(Xt, X_dw)
+        n = X_dw[0].shape[0]
+        eye = jnp.eye(n, dtype=X_dw[0].dtype)
+        Rh, re = zl.two_sum(eye, -XtX[0])
+        Rl = re - XtX[1]
+        # lam = diag(S) / (1 - diag(R)) in dw
+        num = (jnp.diagonal(S[0]), jnp.diagonal(S[1]))
+        dh, de = zl.two_sum(jnp.ones((n,), eye.dtype),
+                            -jnp.diagonal(Rh))
+        den = (dh, de - jnp.diagonal(Rl))
+        rh, rl = _dw_recip_real(den)
+        lh, le = zl.two_prod(num[0], rh)
+        lam = (lh, le + num[0] * rl + num[1] * rh)
+        # E from collapsed dw values (the corrections are ~1e-7-sized, so
+        # the f32 collapse keeps ~1e-14 absolute accuracy)
+        S32 = S[0] + S[1]
+        R32 = Rh + Rl
+        lam32 = lam[0] + lam[1]
+        dl = lam32[None, :] - lam32[:, None]
+        scale = jnp.max(jnp.abs(lam32))
+        sep = jnp.abs(dl) > cluster_tol * scale
+        E = jnp.where(sep, (S32 + lam32[None, :] * R32)
+                      / jnp.where(sep, dl, 1.0), R32 / 2.0)
+        E = jnp.where(eye > 0, jnp.diag(jnp.diagonal(R32) / 2.0), E)
+        XE = jnp.matmul(X_dw[0], E, precision=_HIGHEST)
+        xh, xe = zl.two_sum(X_dw[0], XE)
+        return lam, (xh, X_dw[1] + xe)
+
+    @jax.jit
+    def f(H_dw, Sm12_dw=None):
+        A_dw = H_dw
+        if has_overlap:
+            A_dw = _mm_dw_real(Sm12_dw, _mm_dw_real(H_dw, Sm12_dw))
+        lam32, X32 = jnp.linalg.eigh(A_dw[0])
+        lam = (lam32, jnp.zeros_like(lam32))
+        X_dw = (X32, jnp.zeros_like(X32))
+        for _ in range(oa_steps):
+            lam, X_dw = oa_step(A_dw, X_dw)
+        C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
+        return lam, C_dw
+
+    return f
+
+
+def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3):
+    """Device-side spectral basis: (lam64 host, basis-tree device arrays).
+
+    Returns None when the pencil disqualifies (complex/asymmetric H,
+    non-SPD S).  The eigh + refinement run in ONE jit dispatch; only the
+    eigenvalues come back to the host (needed for the pole-distance
+    partition) -- the O(N^2) eigenvector pair stays device-resident."""
+    H = np.asarray(H)
+    if np.iscomplexobj(H):
+        if np.abs(H.imag).max() > 0.0:
+            return None
+        H = H.real
+    H = H.astype(np.float64)
+    if np.abs(H - H.T).max() > 1e-10 * max(np.abs(H).max(), 1e-300):
+        return None
+    S = np.asarray(S, dtype=np.float64)
+    has_overlap = not np.allclose(S, np.eye(S.shape[0]), atol=1e-14)
+    fn = _build_device_basis_fn(has_overlap, oa_steps, cluster_tol)
+    H_dw = _dw_split_real(H)
+    if has_overlap:
+        Sm12 = _s_m12_host(S)
+        if Sm12 is None:
+            return None
+        lam_dw, C_dw = fn(H_dw, _dw_split_real(Sm12))
+    else:
+        lam_dw, C_dw = fn(H_dw)
+    lam64 = (np.asarray(lam_dw[0], dtype=np.float64)
+             + np.asarray(lam_dw[1], dtype=np.float64))
+    return lam64, lam_dw, C_dw
+
+
+# ---------------------------------------------------------------------------
 # Traced double-word helpers (vectors / small blocks)
 # ---------------------------------------------------------------------------
 
@@ -591,28 +752,46 @@ class SpectralRunner:
         self.exec_cfg = exec_cfg
         self.mesh = mesh
         self.available = False
-        basis = spectral_basis(H, S)
-        if basis is None:
-            return
         struct = detect_structure(provider, S)
         if struct is None:
             return
-        lam, C = basis
-        self.lam64 = lam
+        if exec_cfg.spectral_basis == "device":
+            out = device_basis(H, S)
+            if out is None:
+                return
+            lam64, lam_dw, C_dw = out
+            self.lam64 = lam64
+            basis_tree = {
+                "lam_hi": lam_dw[0], "lam_lo": lam_dw[1],
+                "C_hi": C_dw[0], "C_lo": C_dw[1],
+                "Cc": (C_dw[0] + C_dw[1])[np.asarray(struct.c), :],
+            }
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                basis_tree = jax.device_put(
+                    basis_tree, NamedSharding(mesh, P()))
+        else:
+            basis = spectral_basis(H, S)
+            if basis is None:
+                return
+            lam, C = basis
+            self.lam64 = lam
+            lam_hi = lam.astype(np.float32)
+            C_hi = C.astype(np.float32)
+            basis_tree = {
+                "lam_hi": lam_hi,
+                "lam_lo": (lam - lam_hi.astype(np.float64)).astype(
+                    np.float32),
+                "C_hi": C_hi,
+                "C_lo": (C - C_hi.astype(np.float64)).astype(np.float32),
+                "Cc": C[np.asarray(struct.c), :].astype(np.float32),
+            }
+            if put_fn is not None:
+                basis_tree = put_fn(basis_tree)
         self.c0 = struct.c0
         self.c = struct.c
-        lam_hi = lam.astype(np.float32)
-        C_hi = C.astype(np.float32)
-        basis_tree = {
-            "lam_hi": lam_hi,
-            "lam_lo": (lam - lam_hi.astype(np.float64)).astype(np.float32),
-            "C_hi": C_hi,
-            "C_lo": (C - C_hi.astype(np.float64)).astype(np.float32),
-            "Cc": C[np.asarray(struct.c), :].astype(np.float32),
-        }
         self.bg_cc_s = split_tree(struct.bg_cc, np.complex64)
         if put_fn is not None:
-            basis_tree = put_fn(basis_tree)
             self.bg_cc_s = put_fn(self.bg_cc_s)
         self.basis = basis_tree
         self.available = True

@@ -283,6 +283,46 @@ def test_spectral_negfe_scf_matches_default():
     assert np.abs(P_lu - P_sp).max() < 2e-5
 
 
+@pytest.mark.parametrize("overlap", [False, True])
+def test_spectral_device_basis(overlap):
+    """spectral_basis='device': f32 eigh + Ogita-Aishima dw refinement on
+    the device replaces the host f64 eigh; the resolvent floor (~1e-7)
+    stays below the mixed contract."""
+    H, S, inds = _system(overlap=overlap)
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    zc, wc, zr, wr = _grids()
+    truth_c = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zc, wc)
+    truth_r = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_basis="device"))
+    assert eng._spectral_runner() is not None
+    assert _relerr(eng.gr_sum(zc, wc), truth_c) < 1e-5
+    assert _relerr(eng.gr_sum(zr, wr), truth_r) < 1e-5
+
+
+def test_device_basis_refinement_quality():
+    """The OA-refined device basis must reach dw-class eigenvalues and
+    orthogonality from an f32 seed, including degenerate clusters."""
+    from gaunegf_tpu.ops.spectral import device_basis
+    rng = np.random.default_rng(5)
+    N = 120
+    Q, _ = np.linalg.qr(rng.standard_normal((N, N)))
+    lam_true = np.sort(rng.uniform(-2, 2, N))
+    lam_true[50:54] = lam_true[50]              # exact 4-fold degeneracy
+    A = (Q * lam_true[None, :]) @ Q.T
+    A = 0.5 * (A + A.T)
+    lam64, lam_dw, C_dw = device_basis(A, np.eye(N))
+    C = (np.asarray(C_dw[0], np.float64)
+         + np.asarray(C_dw[1], np.float64))
+    assert np.abs(np.sort(lam64) - lam_true).max() < 5e-10
+    assert np.abs(C.T @ C - np.eye(N)).max() < 1e-11
+    # A-invariance governs the resolvent quality
+    assert np.abs(A @ C - C * lam64[None, :]).max() < 5e-7
+
+
 def test_solver_default_is_lu():
     H, S, inds = _system(32)
     g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
