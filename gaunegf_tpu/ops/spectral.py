@@ -146,6 +146,9 @@ def detect_structure(provider, S, probes=(0.137 + 0.211j, -0.233 + 0.173j),
     background is energy-dependent) fails the residual check and the
     caller falls back to the LU route.
     """
+    cached = getattr(provider, "_spectral_struct", None)
+    if cached is not None:
+        return cached
     getter = getattr(provider, "contact_inds", None)
     if getter is None:
         return None
@@ -158,7 +161,9 @@ def detect_structure(provider, S, probes=(0.137 + 0.211j, -0.233 + 0.173j),
     c = tuple(int(j) for j in c)
     S = np.asarray(S, dtype=np.float64)
     N = S.shape[0]
-    if len(c) >= N:
+    # beyond k ~ N/2 the O(N^2 k) route has no advantage over the LU (and
+    # the dw k x k chain dominates) -- same support cap as use_lowrank
+    if len(c) > N // 2:
         return None
     from gaunegf_tpu.ops.complexio import call_complex_safe
     fn, params = provider.total_apply()
@@ -183,7 +188,15 @@ def detect_structure(provider, S, probes=(0.137 + 0.211j, -0.233 + 0.173j),
         return None
     c0 = c0s[0]
     bg_cc = (c0 * S[np.ix_(c, c)]).astype(np.complex64)
-    return SpectralStructure(c=c, c0=c0, bg_cc=bg_cc)
+    struct = SpectralStructure(c=c, c0=c0, bg_cc=bg_cc)
+    # cache ON the provider: detection costs two sigma evaluations (for
+    # chain/Bethe that is two surface fixed points) and the STRUCTURE is
+    # invariant under setF -- only the block values change
+    try:
+        provider._spectral_struct = struct
+    except Exception:
+        pass
+    return struct
 
 
 def spectral_supported(provider, H, S):
@@ -800,7 +813,13 @@ class SpectralRunner:
 
     def _dists(self, E):
         zp = np.asarray(E, dtype=np.complex128) - self.c0
-        return np.abs(zp[:, None] - self.lam64[None, :]).min(axis=1)
+        out = np.empty(zp.size, dtype=np.float64)
+        step = max(1, int(4e6 // max(self.lam64.size, 1)))  # bound temp mem
+        for i in range(0, zp.size, step):
+            blk = zp[i:i + step]
+            out[i:i + step] = np.abs(
+                blk[:, None] - self.lam64[None, :]).min(axis=1)
+        return out
 
     def _mode(self, E):
         """'f32' when every shifted grid point stays dist_f32 away from the
@@ -887,9 +906,13 @@ class SpectralRunner:
         from gaunegf_tpu.ops.complexio import merge_host
         from gaunegf_tpu.ops.greens import _layout, _unlayout
 
-        c1 = tuple(int(j) for j in provider.contact_inds(0))
-        c2 = tuple(int(j) for j in provider.contact_inds(-1))
-        if not (set(c1) <= set(self.c) and set(c2) <= set(self.c)):
+        try:
+            c1 = tuple(int(j) for j in provider.contact_inds(0))
+            c2 = tuple(int(j) for j in provider.contact_inds(-1))
+        except Exception:
+            return None
+        if not (c1 and c2 and set(c1) <= set(self.c)
+                and set(c2) <= set(self.c)):
             return None
         fn, block_fn, params = self._fns(provider)
         g1, _ = provider.contact_apply(0)
