@@ -157,6 +157,13 @@ class ExecutionConfig:
     # such points are individually routed through the LU engines (they are
     # well-conditioned THERE: the contact coupling regularizes A)
     spectral_dist_lu: float = 1e-5
+    # dw-assembly product tier: 'lite' = reduced-slice Ozaki leading
+    # products with bf16-exact one-pass slice matmuls (~1e-13 per product,
+    # ~4x fewer MXU passes -- zlinalg.matmul_ozaki_lite); 'full' = the
+    # round-4-early error-free products (~3.6e-15).  'lite' keeps
+    # product error * |D| <= 1e-8 over the whole dw range, two decades
+    # under the mixed contract
+    spectral_dw: str = "lite"
     # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK,
     # the accuracy reference) or 'device' (f32 XLA eigh + Ogita-Aishima
     # double-word refinement, all-MXU -- for hosts whose serial eigh would

@@ -423,6 +423,15 @@ def _sigma_block(e, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt):
     return M.astype(cdt)
 
 
+def _exact_kind(mode):
+    """Leading-product quality for zmatmul_dw by grid mode: 'dwl' (the
+    default dw tier since round 4) uses reduced-slice Ozaki products
+    (~1e-13, ~4x fewer MXU passes -- zlinalg.matmul_ozaki_lite); 'dw'
+    keeps the full error-free products (~3.6e-15) for callers that ask
+    for them via ExecutionConfig.spectral_dw='full'."""
+    return {"f32": False, "dwl": "lite", "dw": True}[mode]
+
+
 def _k_chain(e_dw, M, basis, mode):
     """The per-point spectral Woodbury chain, shared by every kernel.
 
@@ -452,14 +461,15 @@ def _k_chain(e_dw, M, basis, mode):
     Cc_c = _as_cdw(Cc.astype(cdt))
     M_dw = _as_cdw(M)
 
-    exact = mode != "f32"
+    exact = _exact_kind(mode)
     G0 = zl.zmatmul_dw(Cc_c, X_dw, exact=exact)          # (k, k) dw
     MG = zl.zmatmul_dw(M_dw, G0, exact=exact)
     k = Cc.shape[0]
     eye = jnp.eye(k, dtype=cdt)
     A = zl.cdw_sub(_as_cdw(eye), MG)
     if exact:
-        Ai = zl.zinv_dw(A[0], A[1], steps=3, exact_steps=2)
+        Ai = zl.zinv_dw(A[0], A[1], steps=3, exact_steps=2,
+                        exact_kind=exact)
     else:
         Ai = zl.zinv_dw(A[0], A[1], steps=2)
     K = zl.zmatmul_dw(Ai, M_dw, exact=exact)             # (k, k) dw
@@ -476,7 +486,7 @@ def _point_factors(e_dw, w, params, sig_tot_fn, sig_block_fn, c, bg_cc,
     M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc,
                      eh.dtype)
     D, X_dw, Y_dw, _, K = _k_chain(e_dw, M, basis, mode)
-    exact = mode != "f32"
+    exact = _exact_kind(mode)
     Z_dw = _cdw_smul_single(
         w, zl.zmatmul_dw(K, Y_dw, exact=exact))          # (k, N) dw
     if mode == "f32":
@@ -496,7 +506,7 @@ def _point_gless_factors(e_dw, w, params, sig_tot_fn, sig_block_fn,
     cdt = eh.dtype
     M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt)
     _, X_dw, _, G0, K = _k_chain(e_dw, M, basis, mode)
-    exact = mode != "f32"
+    exact = _exact_kind(mode)
     k = len(c)
     eye = jnp.eye(k, dtype=cdt)
     T_k = zl.cdw_add2(_as_cdw(eye),
@@ -524,15 +534,18 @@ def _point_transmission_sp(e_dw, params, sig_tot_fn, sig_block_fn,
     Gcc[p1, p2]^H) with p1/p2 the positions of c1/c2 inside the union
     support (parity with _point_transmission_lowrank, which neglects the
     broadening background's Gamma).  The whole point is O(N k^2) -- there
-    is no heavy term to protect, so the assembly always runs with exact
-    leading products regardless of the grid mode (f32 Gcc assembly costs
-    ~1e-5 on T via trace cancellation; exact holds ~1e-7)."""
+    is no heavy term to protect, so the assembly always runs with
+    exact-family leading products regardless of the grid mode (f32 Gcc
+    assembly costs ~1e-5 on T via trace cancellation; the lite tier
+    holds ~1e-7; mode='dw' keeps the full error-free products)."""
     eh, _ = e_dw
     cdt = eh.dtype
     M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt)
-    _, _, _, G0, K = _k_chain(e_dw, M, basis, "dw")
+    kind = "dw" if mode == "dw" else "dwl"
+    ex = _exact_kind(kind)
+    _, _, _, G0, K = _k_chain(e_dw, M, basis, kind)
     Gcc = zl.cdw_add2(G0, zl.zmatmul_dw(
-        G0, zl.zmatmul_dw(K, G0, exact=True), exact=True))
+        G0, zl.zmatmul_dw(K, G0, exact=ex), exact=ex))
     G = Gcc[0] + Gcc[1]
     pos = {j: i for i, j in enumerate(c)}
     p1 = np.asarray([pos[int(j)] for j in c1], dtype=np.int64)
@@ -558,10 +571,12 @@ def _chunk_corr(Xs, Zs, mode):
     Xl = jnp.moveaxis(Xl, 0, 1).reshape(N, ch * k)
     Zh = Zh.reshape(ch * k, -1)
     Zl = Zl.reshape(ch * k, -1)
-    # exact leading term: the near-pole diagonal of this product cancels
-    # against D to ~|result|/|D| -- a dwf leading term's f32-accumulation
-    # floor re-breaks what the exact k-chain above just preserved
-    return zl.zmatmul_dw((Xh, Xl), (Zh, Zl), exact=True)
+    # exact-family leading term: the near-pole diagonal of this product
+    # cancels against D to ~|result|/|D| -- a dwf leading term's
+    # f32-accumulation floor re-breaks what the exact k-chain above just
+    # preserved.  'dwl' uses the lite products (~1e-13 * |D| <= 1e-8 over
+    # the dw range dist >= dist_lu) at ~4x fewer MXU passes.
+    return zl.zmatmul_dw((Xh, Xl), (Zh, Zl), exact=_exact_kind(mode))
 
 
 def _chunk_diag(D, w, mode):
@@ -833,7 +848,9 @@ class SpectralRunner:
         if not ok.any():
             return None
         dmin = d[ok].min()
-        return "f32" if dmin >= self.exec_cfg.spectral_dist_f32 else "dw"
+        if dmin >= self.exec_cfg.spectral_dist_f32:
+            return "f32"
+        return "dw" if self.exec_cfg.spectral_dw == "full" else "dwl"
 
     def bad_mask(self, E):
         """Per-point mask of grid points the spectral route must NOT serve

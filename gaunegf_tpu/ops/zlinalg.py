@@ -986,7 +986,8 @@ def _ozaki_slices(x, axis, s_bits, n_slices):
     return slices, rem
 
 
-def matmul_ozaki_real(a, b, *, s_bits=None, n_slices=4):
+def matmul_ozaki_real(a, b, *, s_bits=None, n_slices=4, slice_prec=None,
+                      rem_prec=None):
     """Error-free f32 matmul: returns double-word (hi, lo) with
     hi + lo = a @ b up to ~2^-47 of the row/column dynamic-range scale.
 
@@ -997,6 +998,13 @@ def matmul_ozaki_real(a, b, *, s_bits=None, n_slices=4):
     leftover remainders (below 2^-24 of each row/column scale) contribute
     through two ordinary f32 matmuls, keeping the overall error ~1e-13 for
     O(1) operands.  Cost: n_slices^2 + 2 f32 matmuls.
+
+    slice_prec/rem_prec override the matmul precision of the slice
+    products / remainder correction (default HIGHEST for both).  The
+    slice products are EXACT at one-pass-bf16 DEFAULT too provided
+    s_bits <= 7: each slice then has <= 8 significant bits (bf16's
+    mantissa), the bf16 conversion is lossless, and the MXU accumulates
+    in f32 -- see matmul_ozaki_lite.
     """
     K = a.shape[-1]
     if s_bits is None:
@@ -1004,6 +1012,8 @@ def matmul_ozaki_real(a, b, *, s_bits=None, n_slices=4):
         # of slack for the round-to-nearest slice overflow case)
         s_bits = max(1, (23 - int(np.ceil(np.log2(max(K, 2))))) // 2)
         n_slices = int(np.ceil(24 / s_bits)) + 1
+    slice_prec = _HI if slice_prec is None else slice_prec
+    rem_prec = _HI if rem_prec is None else rem_prec
     sa, ra = _ozaki_slices(a, -1, s_bits, n_slices)
     sb, rb = _ozaki_slices(b, -2, s_bits, n_slices)
     hi = jnp.zeros(a.shape[:-1] + b.shape[-1:], jnp.float32)
@@ -1013,15 +1023,44 @@ def matmul_ozaki_real(a, b, *, s_bits=None, n_slices=4):
         for i in range(n_slices):
             j = t - i
             if 0 <= j < n_slices:
-                p = jnp.matmul(sa[i], sb[j], precision=_HI)
+                p = jnp.matmul(sa[i], sb[j], precision=slice_prec)
                 hi, e = two_sum(hi, p)
                 lo = lo + e
-    # remainder cross terms (~2^-24 relative): plain f32 is plenty
-    corr = jnp.matmul(ra, b, precision=_HI) \
-        + jnp.matmul(a - ra, rb, precision=_HI)
+    # remainder cross terms (below 2^(-s_bits*n_slices) relative)
+    corr = jnp.matmul(ra, b, precision=rem_prec) \
+        + jnp.matmul(a - ra, rb, precision=rem_prec)
     hi, e = two_sum(hi, corr)
     lo = lo + e
     return hi, lo
+
+
+def matmul_ozaki_lite(a, b, *, n_slices=3):
+    """Reduced-cost Ozaki matmul: (hi, lo) with relative error
+    ~eps_f32 * 2^(-s_bits*n_slices) (~1e-13 at the default 3 slices).
+
+    Two cost reductions versus matmul_ozaki_real's full-exact defaults
+    (27 HIGHEST matmuls -> 9 DEFAULT + 2 HIGH):
+
+    * slice products run at one-pass-bf16 DEFAULT: s_bits is capped at 7
+      so every slice value has <= 8 significant bits (bf16-lossless) and
+      the slice dot products still accumulate exactly in the MXU's f32
+      accumulator (2*s + ceil(log2 K) <= 24 is enforced by the cap).
+    * only the top n_slices slices are kept; the dropped tail goes
+      through the HIGH (3-pass) remainder correction, whose own rounding
+      is ~eps_f32 RELATIVE TO THE TAIL, i.e. ~eps * 2^(-s*n) of the
+      result scale.
+
+    This is the spectral engine's near-pole product primitive: the
+    Woodbury assembly there needs product error << target / |D| with
+    |D| <= 1/spectral_dist_lu = 1e5, and 1e-13 * 1e5 = 1e-8 clears the
+    mixed tier's 2e-6 contract with two decades of margin while the full
+    exact product (3.6e-15) over-delivers at ~4x the MXU passes.
+    """
+    K = a.shape[-1]
+    s_bits = max(1, min(7, (23 - int(np.ceil(np.log2(max(K, 2))))) // 2))
+    return matmul_ozaki_real(a, b, s_bits=s_bits, n_slices=n_slices,
+                             slice_prec=jax.lax.Precision.DEFAULT,
+                             rem_prec=jax.lax.Precision.HIGH)
 
 
 def zmatmul_exact(a, b):
@@ -1037,6 +1076,22 @@ def zmatmul_exact(a, b):
     ii = matmul_ozaki_real(ai, bi)
     ri = matmul_ozaki_real(ar, bi)
     ir = matmul_ozaki_real(ai, br)
+    re_h, e1 = two_sum(rr[0], -ii[0])
+    re_l = rr[1] - ii[1] + e1
+    im_h, e2 = two_sum(ri[0], ir[0])
+    im_l = ri[1] + ir[1] + e2
+    return re_h + 1j * im_h, re_l + 1j * im_l
+
+
+def zmatmul_exact_lite(a, b, *, n_slices=3):
+    """Complex reduced-cost Ozaki matmul: double-word (hi, lo) pair with
+    hi + lo ~= a @ b to ~1e-13 relative (see matmul_ozaki_lite)."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    rr = matmul_ozaki_lite(ar, br, n_slices=n_slices)
+    ii = matmul_ozaki_lite(ai, bi, n_slices=n_slices)
+    ri = matmul_ozaki_lite(ar, bi, n_slices=n_slices)
+    ir = matmul_ozaki_lite(ai, br, n_slices=n_slices)
     re_h, e1 = two_sum(rr[0], -ii[0])
     re_l = rr[1] - ii[1] + e1
     im_h, e2 = two_sum(ri[0], ir[0])
@@ -1066,18 +1121,29 @@ def zmatmul_dwf(a, b):
     return re_h + 1j * im_h, re_l + 1j * im_l
 
 
-def zmatmul_dw(a_dw, b_dw, exact: bool = False):
+def zmatmul_dw(a_dw, b_dw, exact=False):
     """Double-word complex matmul: (a_hi+a_lo) @ (b_hi+b_lo) as (hi, lo).
 
-    The leading hi x hi product uses double-float partials ('high') or
-    error-free Ozaki slicing ('exact'); the cross terms are ~eps-relative
-    and accumulate in plain f32 (their own rounding is ~eps^2).
+    The leading hi x hi product uses double-float partials (exact=False),
+    reduced-slice Ozaki (exact='lite', ~1e-13 -- see matmul_ozaki_lite)
+    or full error-free Ozaki slicing (exact=True, ~3.6e-15); the cross
+    terms are ~eps-relative and their own rounding ~eps^2, so 'lite'
+    runs them at HIGH (3-pass: eps * eps_f32-ish, below the lite leading
+    term) instead of HIGHEST.
     """
     a_hi, a_lo = a_dw
     b_hi, b_lo = b_dw
-    lead_hi, lead_lo = (zmatmul_exact(a_hi, b_hi) if exact
-                        else zmatmul_dwf(a_hi, b_hi))
-    cross = _mm(a_hi, b_lo) + _mm(a_lo, b_hi)
+    if exact == "lite":
+        lead_hi, lead_lo = zmatmul_exact_lite(a_hi, b_hi)
+        mmx = lambda x, y: jnp.matmul(x, y,
+                                      precision=jax.lax.Precision.HIGH)
+    elif exact:
+        lead_hi, lead_lo = zmatmul_exact(a_hi, b_hi)
+        mmx = _mm
+    else:
+        lead_hi, lead_lo = zmatmul_dwf(a_hi, b_hi)
+        mmx = _mm
+    cross = mmx(a_hi, b_lo) + mmx(a_lo, b_hi)
     hi, e = ctwo_sum(lead_hi, cross)
     return hi, lead_lo + e
 
@@ -1177,7 +1243,7 @@ def dw_from(x):
 
 
 def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
-            bs: int | None = None,
+            bs: int | None = None, exact_kind=True,
             panel_impl: str = "auto", method: str | None = None):
     """Double-word inverse: X_hi + X_lo ~= (A_hi + A_lo)^-1 to ~1e-9.
 
@@ -1219,8 +1285,11 @@ def zinv_dw(A_hi, A_lo, *, steps: int = 2, exact_steps: int = 0,
         X_hi, X_lo = _update(X_hi, X_lo, R, jnp.zeros_like(R))
     for _ in range(exact_steps):
         # error-free residual: every term double-word, leading product via
-        # Ozaki slicing (exact on the MXU)
-        P_hi, P_lo = zmatmul_exact(A_hi, X_hi)
+        # Ozaki slicing (exact on the MXU; exact_kind='lite' trades the
+        # last ~2 digits for ~4x fewer MXU passes, see matmul_ozaki_lite)
+        P_hi, P_lo = (zmatmul_exact_lite(A_hi, X_hi)
+                      if exact_kind == "lite"
+                      else zmatmul_exact(A_hi, X_hi))
         cross = _mm(A_hi, X_lo) + _mm(A_lo, X_hi) + _mm(A_lo, X_lo)
         R_hi, e = ctwo_sum(eye - P_hi, -cross)
         R_lo = -P_lo + e

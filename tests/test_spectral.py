@@ -83,8 +83,14 @@ def test_spectral_forced_dw_mode():
     eng = EnergyEngine(H, S, g, ExecutionConfig(
         precision="mixed", energy_chunk=4, solver="spectral",
         spectral_dist_f32=1e9))
-    assert eng._spectral_runner()._mode(zr) == "dw"
+    assert eng._spectral_runner()._mode(zr) == "dwl"
     assert _relerr(eng.gr_sum(zr, wr), truth) < 5e-6
+    # the full-exact tier stays reachable and at least as accurate
+    eng_full = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_dist_f32=1e9, spectral_dw="full"))
+    assert eng_full._spectral_runner()._mode(zr) == "dw"
+    assert _relerr(eng_full.gr_sum(zr, wr), truth) < 5e-6
 
 
 def test_spectral_near_pole_grid():
@@ -106,8 +112,13 @@ def test_spectral_near_pole_grid():
     runner = eng._spectral_runner()
     (Eg, wg), (Eb, wb) = runner.split_grid(zr, wr)
     assert Eb.size == 1 and abs(Eb[0] - zr[10]) < 1e-12
-    assert runner._mode(Eg) == "dw"
+    assert runner._mode(Eg) == "dwl"
     assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
+    # spectral_dw='full' (the round-4-early products) agrees too
+    eng_full = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_dw="full"))
+    assert _relerr(eng_full.gr_sum(zr, wr), truth) < 1e-5
 
 
 def test_spectral_chain_provider_energy_dependent():

@@ -175,6 +175,49 @@ def test_matmul_ozaki_error_free(rng):
         assert np.abs(got - ref).max() / scale < 1e-13
 
 
+def test_matmul_ozaki_lite(rng):
+    """Reduced-slice Ozaki tier: ~eps * 2^(-s*n) relative (~1e-13 at the
+    default 3 slices) at ~4x fewer MXU passes than the full-exact tier.
+
+    On CPU this validates the slice-count reduction and the HIGH
+    remainder path; the bf16-exactness of DEFAULT slice products is a
+    TPU property validated on device (benchmarks/device/e42)."""
+    for K in (64, 2000):
+        a = rng.standard_normal((128, K)).astype(np.float32)
+        b = rng.standard_normal((K, 128)).astype(np.float32)
+        a *= np.exp2(rng.integers(-8, 8, (128, 1))).astype(np.float32)
+        b *= np.exp2(rng.integers(-8, 8, (1, 128))).astype(np.float32)
+        hi, lo = zl.matmul_ozaki_lite(jnp.asarray(a), jnp.asarray(b))
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        scale = (np.abs(a).astype(np.float64)
+                 @ np.abs(b).astype(np.float64)).max()
+        assert np.abs(got - ref).max() / scale < 5e-12
+
+
+def test_zmatmul_dw_lite_near_pole_quality(rng):
+    """zmatmul_dw(exact='lite') on |D|-scaled operands: the spectral dw
+    assembly's requirement is product error * |D| << 1e-6; lite holds
+    ~1e-12 relative, i.e. <= 1e-7 after the worst-case 1e5 cancellation."""
+    K = 512
+    a = (rng.standard_normal((96, K))
+         + 1j * rng.standard_normal((96, K))).astype(np.complex128)
+    b = (rng.standard_normal((K, 96))
+         + 1j * rng.standard_normal((K, 96))).astype(np.complex128)
+    a[3] *= 1e5                              # one near-pole row
+    b[:, 7] *= 1e5
+    a_dw = (a.astype(np.complex64),
+            (a - a.astype(np.complex64)).astype(np.complex64))
+    b_dw = (b.astype(np.complex64),
+            (b - b.astype(np.complex64)).astype(np.complex64))
+    hi, lo = zl.zmatmul_dw(tuple(map(jnp.asarray, a_dw)),
+                           tuple(map(jnp.asarray, b_dw)), exact="lite")
+    got = np.asarray(hi, np.complex128) + np.asarray(lo, np.complex128)
+    ref = a @ b
+    scale = (np.abs(a) @ np.abs(b)).max()
+    assert np.abs(got - ref).max() / scale < 1e-11
+
+
 def test_zmatmul_exact_complex(rng):
     K = 256
     a = (rng.standard_normal((K, K))
