@@ -277,7 +277,7 @@ def main():
     # headline takes the better of the two solvers (the metric is G(E)
     # throughput at the mixed contract, solver-agnostic).  Falls back to
     # the LU numbers if the route declines.
-    pts_1000_sp = pts_2000_sp = None
+    pts_1000_sp = pts_2000_sp = pts_trans_sp = None
     eigh_s_1000 = eigh_s_2000 = None
     try:
         with _stage("N=1000 spectral gr_sum"):
@@ -288,6 +288,10 @@ def main():
                 eigh_s_1000 = round(time.time() - t0, 1)  # once per Fock
                 pts_1000_sp = _median_rate(lambda: eng_sp.gr_sum(E, w),
                                            n_E, repeats=5)
+        if pts_1000_sp is not None:
+            with _stage("N=1000 spectral T(E)"):
+                pts_trans_sp = _median_rate(
+                    lambda: eng_sp.transmission(E), n_E, repeats=3)
         with _stage("N=2000 spectral gr_sum"):
             t0 = time.time()
             eng2_sp = EnergyEngine(H2, S2, g2, ExecutionConfig(
@@ -338,6 +342,8 @@ def main():
             "n2000_mixed_pts_per_s": round(pts_2000, 2),
             "n2000_mixed_im_pts_per_s": round(pts_2000_im, 2),
             "transmission_lowrank_pts_per_s": round(pts_trans, 2),
+            "transmission_spectral_pts_per_s":
+                None if pts_trans_sp is None else round(pts_trans_sp, 2),
             "anchor_matmul_gflops": round(anchor_mm, 1),
             "anchor_solve_pts_per_s": round(anchor_solve, 2),
             "anchor_ratio": round(anchor_ratio, 4),
