@@ -239,15 +239,18 @@ def _dw_split_real(x):
 def _mm_dw_real(a_dw, b_dw, exact=True):
     """Real double-word matmul.
 
-    exact=True (default): error-free Ozaki leading product -- the
+    exact=True (default): Ozaki-sliced leading product -- the
     double-float scheme only removes input representation error, NOT the
     f32 accumulation error of the partial matmuls (~1e-7 rel, measured:
     it capped the OA refinement at seed quality), while the Ozaki slices
-    are exact on the MXU."""
+    are exact on the MXU.  The lite tier (~3e-14 per product, ~4x fewer
+    MXU passes -- zlinalg.matmul_ozaki_lite) is ample for the OA
+    refinement's targets (lam ~5e-13, orthogonality ~7e-14 floors sit at
+    the dw representation, not the product error)."""
     ah, al = a_dw
     bh, bl = b_dw
     if exact:
-        h, l = zl.matmul_ozaki_real(ah, bh)
+        h, l = zl.matmul_ozaki_lite(ah, bh)
     else:
         h, l = zl._matmul_hp_real(ah, bh)
     cross = (jnp.matmul(ah, bl, precision=_HIGHEST)
