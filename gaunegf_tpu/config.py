@@ -149,10 +149,15 @@ class ExecutionConfig:
     # to 'lu' when the provider's Sigma is not (background + contact-block)
     # or the pencil is not real-symmetric-definite.
     solver: str = "lu"
-    # spectral route: minimum host-checked distance min|z - c0 - lam| at
-    # which the f32 assembly is safe; closer grids use the double-word
-    # assembly (near-pole Woodbury cancellation; see ops/spectral.py)
-    spectral_dist_f32: float = 1e-3
+    # spectral route: minimum host-checked PER-POINT distance
+    # min_n |z - c0 - lam_n| at which the f32 assembly is safe; closer
+    # points use the double-word assembly (near-pole Woodbury
+    # cancellation; see ops/spectral.py).  The grid is partitioned per
+    # point into f32/dw segments sharing one dispatch.  Measured
+    # per-point error vs x64 truth (round-4 session 3, N=400 junction):
+    # f32 holds 0.7-2.6e-6 for dist >= 1e-4, then degrades (8e-6 at
+    # 3e-5, 3e-4 at 1e-5); the dw tier holds ~5e-7 everywhere
+    spectral_dist_f32: float = 1e-4
     # below this distance even the dw assembly floors (~eps_dw * |D|);
     # such points are individually routed through the LU engines (they are
     # well-conditioned THERE: the contact coupling regularizes A)

@@ -534,7 +534,11 @@ def _point_gless_factors(e_dw, w, params, sig_tot_fn, sig_block_fn,
     R = zl.zmatmul_dw(_cdw_smul_single(w, _as_cdw(gamma)),
                       zl.cdw_conj_t(Xt), exact=exact)      # (k, N) dw
     if mode == "f32":
-        return Xt[0], R[0] + R[1]
+        # collapse hi+lo: zmatmul_dwf's hi alone is the HALF-precision
+        # Veltkamp partial (p1 of the split scheme, ~2^-12 relative) --
+        # returning Xt[0] un-collapsed cost 3e-4 on every f32 G< point
+        # (found round-4 session 3 via the controlled-dist error study)
+        return Xt[0] + Xt[1], R[0] + R[1]
     return Xt, R
 
 
@@ -640,18 +644,24 @@ def _rotate(basis, Shat_dw, diag_dw, mode):
 def _build_spectral_sum_engine(kind: str, sig_tot_fn, sig_block_fn,
                                gamma_fn, c: tuple,
                                exec_cfg: ExecutionConfig,
-                               mesh: Optional[Mesh], mode: str,
+                               mesh: Optional[Mesh], modes: tuple,
                                epilog=None):
-    """Jitted sum engine: (params_s, basis, bg_cc_s, E_dw_s, w_s) -> split.
+    """Jitted sum engine over one or more MODE SEGMENTS:
+    (params_s, basis, bg_cc_s, segs_s) -> split, where segs_s is a tuple
+    of per-segment ((E_hi, E_lo), w) grids, one per entry of `modes`.
 
     kind='gr': sum_j w_j G(E_j) (bare-resolvent diagonal + rank-k
     corrections); kind='gless': sum_j w_j [G Gamma G^H](E_j) (sandwich
-    only, no diagonal term).  E layout (nd, nch, ch) as a two-float split
-    of the f64 grid.  The output collapses hi+lo into one split-complex
-    array (or its imaginary part for epilog='im', halving the transfer:
-    the single-word tiers cannot represent the lo part anyway)."""
+    only, no diagonal term).  Each segment is laid out (nd, nch, ch) as
+    a two-float split of the f64 grid and scanned with its own product
+    tier; all segments accumulate into ONE shared double-word carry, so
+    a real-axis grid pays the dw machinery only for its near-pole points
+    (host-partitioned by pole distance) in a single dispatch/transfer.
+    The output collapses hi+lo into one split-complex array (or its
+    imaginary part for epilog='im', halving the transfer: the
+    single-word tiers cannot represent the lo part anyway)."""
 
-    def point(e_dw, w, params, bg_cc, basis):
+    def point(mode, e_dw, w, params, bg_cc, basis):
         if kind == "gr":
             return _point_factors(e_dw, w, params, sig_tot_fn,
                                   sig_block_fn, c, bg_cc, basis, mode)
@@ -660,68 +670,75 @@ def _build_spectral_sum_engine(kind: str, sig_tot_fn, sig_block_fn,
                                      basis, mode)
         return Xt, R, None, None
 
-    def device_body(params, basis, bg_cc, E_dw, w, varying=False):
+    def device_body(params, basis, bg_cc, segs, varying=False):
         N = basis["C_hi"].shape[0]
-        Eh, El = E_dw
-        cdt = Eh.dtype
+        cdt = segs[0][0][0].dtype
 
-        def scan_fn(carry, inputs):
-            eh, el, wb = inputs
-            Xs, Zs, Ds, _ = jax.vmap(
-                lambda a, b, ww: point((a, b), ww, params, bg_cc,
-                                       basis))(eh, el, wb)
-            corr = _chunk_corr(Xs, Zs, mode)
-            (Sh, Sl), (gh, gl) = carry
-            Sh2, e = zl.ctwo_sum(Sh, corr[0])
-            Sl2 = Sl + corr[1] + e
-            if kind == "gr":
-                dsum = _chunk_diag(Ds, wb, mode)
-                gh2, eg = zl.ctwo_sum(gh, dsum[0])
-                gl2 = gl + dsum[1] + eg
-            else:
-                gh2, gl2 = gh, gl
-            return ((Sh2, Sl2), (gh2, gl2)), None
+        def scan_fn_for(mode):
+            def scan_fn(carry, inputs):
+                eh, el, wb = inputs
+                Xs, Zs, Ds, _ = jax.vmap(
+                    lambda a, b, ww: point(mode, (a, b), ww, params,
+                                           bg_cc, basis))(eh, el, wb)
+                corr = _chunk_corr(Xs, Zs, mode)
+                (Sh, Sl), (gh, gl) = carry
+                Sh2, e = zl.ctwo_sum(Sh, corr[0])
+                Sl2 = Sl + corr[1] + e
+                if kind == "gr":
+                    dsum = _chunk_diag(Ds, wb, mode)
+                    gh2, eg = zl.ctwo_sum(gh, dsum[0])
+                    gl2 = gl + dsum[1] + eg
+                else:
+                    gh2, gl2 = gh, gl
+                return ((Sh2, Sl2), (gh2, gl2)), None
+            return scan_fn
 
         z2 = (jnp.zeros((N, N), cdt), jnp.zeros((N, N), cdt))
         zd = (jnp.zeros((N,), cdt), jnp.zeros((N,), cdt))
-        init = (z2, zd)
+        carry = (z2, zd)
         if varying:
-            init = jax.tree_util.tree_map(
-                lambda x: _pvary(x, (ENERGY_AXIS,)), init)
-        (Shat, diag), _ = lax.scan(scan_fn, init, (Eh, El, w))
-        return Shat, diag
+            carry = jax.tree_util.tree_map(
+                lambda x: _pvary(x, (ENERGY_AXIS,)), carry)
+        for mode, ((Eh, El), w) in zip(modes, segs):
+            carry, _ = lax.scan(scan_fn_for(mode), carry, (Eh, El, w))
+        return carry
 
     def finalize(basis, Shat, diag):
-        Ph, Pl = _rotate(basis, Shat, diag, mode)
+        Ph, Pl = _rotate(basis, Shat, diag, modes[-1])
         out = Ph + Pl
         return split_traced(jnp.imag(out) if epilog == "im" else out)
 
+    def _merge_segs(segs_s):
+        segs = merge_tree(segs_s)
+        return tuple((( Eh[0], El[0]), w[0])
+                     for ((Eh, El), w) in segs)
+
     if mesh is None:
         @jax.jit
-        def engine(params_s, basis, bg_cc_s, E_s, w_s):
-            params, bg_cc, (Eh, El), w = merge_tree(
-                (params_s, bg_cc_s, E_s, w_s))
+        def engine(params_s, basis, bg_cc_s, segs_s):
+            params, bg_cc = merge_tree((params_s, bg_cc_s))
             Shat, diag = device_body(params, basis, bg_cc,
-                                     (Eh[0], El[0]), w[0])
+                                     _merge_segs(segs_s))
             return finalize(basis, Shat, diag)
         return engine
 
     @jax.jit
-    def engine(params_s, basis, bg_cc_s, E_s, w_s):
-        def per_device(params_s, basis, bg_cc_s, E_s, w_s):
-            params, bg_cc, (Eh, El), w = merge_tree(
-                (params_s, bg_cc_s, E_s, w_s))
+    def engine(params_s, basis, bg_cc_s, segs_s):
+        def per_device(params_s, basis, bg_cc_s, segs_s):
+            params, bg_cc = merge_tree((params_s, bg_cc_s))
             Shat, diag = device_body(params, basis, bg_cc,
-                                     (Eh[0], El[0]), w[0], varying=True)
+                                     _merge_segs(segs_s), varying=True)
             Shat = lax.psum(Shat, ENERGY_AXIS)
             diag = lax.psum(diag, ENERGY_AXIS)
             return finalize(basis, Shat, diag)
 
+        seg_spec = jax.tree_util.tree_map(lambda _: P(ENERGY_AXIS),
+                                          segs_s)
         return shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(), P(), P(), P(ENERGY_AXIS), P(ENERGY_AXIS)),
+            in_specs=(P(), P(), P(), seg_spec),
             out_specs=P(),
-        )(params_s, basis, bg_cc_s, E_s, w_s)
+        )(params_s, basis, bg_cc_s, segs_s)
 
     return engine
 
@@ -901,19 +918,41 @@ class SpectralRunner:
         if kind == "gless" and contact is not None:
             gamma_fn, params = provider.contact_apply(contact)
         E = np.asarray(E, dtype=np.complex128)
-        mode = self._mode(E)
-        if mode is None:
+        if E.size == 0:
             return None
-        E_lay, w_lay, _, _ = _layout(E - self.c0,
-                                     np.asarray(w, dtype=np.complex128),
-                                     self.mesh, self.exec_cfg.energy_chunk)
+        w = np.asarray(w, dtype=np.complex128)
+        # per-point partition by pole distance (sub-dist_lu points were
+        # split away by the caller): far points run the cheap f32
+        # assembly, near points the dw tier -- both segments scan into
+        # ONE shared accumulator in ONE dispatch (f32 first; the last
+        # mode picks the rotation flavor, so dw-family must come last).
+        # gless partitions 3x more conservatively: the G Gamma G^H
+        # sandwich hits the f32 floor earlier (measured 6.1e-6 at 1e-4
+        # vs gr's 3.5e-6; 1.4e-6 at 3e-4 -- controlled-dist study,
+        # round-4 session 3)
+        d = self._dists(E)
+        thresh = self.exec_cfg.spectral_dist_f32 * (
+            3.0 if kind == "gless" else 1.0)
+        far = d >= thresh
+        dwm = "dw" if self.exec_cfg.spectral_dw == "full" else "dwl"
+        segments = []
+        if far.any():
+            segments.append(("f32", E[far], w[far]))
+        if (~far).any():
+            segments.append((dwm, E[~far], w[~far]))
+        modes = tuple(m for m, _, _ in segments)
+        segs_s = []
+        for _, Es, ws in segments:
+            E_lay, w_lay, _, _ = _layout(Es - self.c0, ws, self.mesh,
+                                         self.exec_cfg.energy_chunk)
+            segs_s.append((
+                self._dw_split_grid(E_lay),
+                split_tree(w_lay.astype(np.complex64), np.complex64)))
         eng = _build_spectral_sum_engine(kind, fn, block_fn, gamma_fn,
                                          self.c, self.exec_cfg, self.mesh,
-                                         mode, epilog)
-        out = merge_host(eng(
-            params_split_fn(params), self.basis, self.bg_cc_s,
-            self._dw_split_grid(E_lay),
-            split_tree(w_lay.astype(np.complex64), np.complex64)))
+                                         modes, epilog)
+        out = merge_host(eng(params_split_fn(params), self.basis,
+                             self.bg_cc_s, tuple(segs_s)))
         return out.astype(np.float64 if epilog == "im" else np.complex128)
 
     def gr_sum(self, provider, params_split_fn, E, w, epilog=None):

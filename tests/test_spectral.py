@@ -94,7 +94,7 @@ def test_spectral_forced_dw_mode():
 
 
 def test_spectral_near_pole_grid():
-    """Grid points near bare eigenvalues: one inside the dw band (1e-4,
+    """Grid points near bare eigenvalues: one inside the dw band (3e-5,
     exercises the double-word Woodbury cancellation) and one inside the
     LU band (1e-7, floors even the dw assembly and must be re-routed
     through a second LU dispatch by split_grid)."""
@@ -103,7 +103,7 @@ def test_spectral_near_pole_grid():
     lam, _ = spectral_basis(H, S)
     zr = np.linspace(-1.5, 1.5, 24)
     zr[10] = lam[len(lam) // 2] + 1e-7
-    zr[15] = lam[len(lam) // 3] + 1e-4
+    zr[15] = lam[len(lam) // 3] + 3e-5
     wr = np.ones(24) / 24
     truth = EnergyEngine(H, S, g, ExecutionConfig(
         precision="strict", energy_chunk=4)).gr_sum(zr, wr)
@@ -112,7 +112,10 @@ def test_spectral_near_pole_grid():
     runner = eng._spectral_runner()
     (Eg, wg), (Eb, wb) = runner.split_grid(zr, wr)
     assert Eb.size == 1 and abs(Eb[0] - zr[10]) < 1e-12
-    assert runner._mode(Eg) == "dwl"
+    # the good part is served per-point: the 1e-4 point lands in the dw
+    # segment, far points in the f32 segment (one dispatch)
+    d = runner._dists(Eg)
+    assert (d < eng.exec_cfg.spectral_dist_f32).sum() >= 1
     assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
     # spectral_dw='full' (the round-4-early products) agrees too
     eng_full = EnergyEngine(H, S, g, ExecutionConfig(
