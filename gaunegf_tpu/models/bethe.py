@@ -90,7 +90,8 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
             sig_old = sig
             sig_tot = jnp.sum(sig, axis=0)
             gk = zl.zinv(A[None] - sig_tot[None] + sig[pair])  # (12, 9, 9)
-            sig = mix * (B @ gk @ Bd) + (1 - mix) * sig_old
+            sig = mix * zl._mm(zl._mm(B, gk), Bd) \
+                + (1 - mix) * sig_old
             diff = jnp.max(jnp.abs(sig - sig_old)) / jnp.maximum(
                 jnp.max(jnp.abs(sig_old)), 1e-30)
             return (count + 1, diff, sig, sig_old)
@@ -102,7 +103,8 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
 
             def inner(k, sig):
                 gk = zl.zinv(A - sig_tot + sig[pair[k]])
-                new = mix * (B[k] @ gk @ Bd[k]) + (1 - mix) * sig_old[k]
+                new = mix * zl._mm(zl._mm(B[k], gk), Bd[k]) \
+                    + (1 - mix) * sig_old[k]
                 return sig.at[k].set(new)
 
             sig = lax.fori_loop(0, NN, inner, sig)
@@ -153,7 +155,7 @@ def bethe_sigma_surface(E, H, Slist, Vlist, eta,
         g = zl.zinv(A - jnp.sum(sig, axis=0))
         # the reference evaluates g once per sweep (Jacobi); update all 6
         # in-plane directions together as one batched matmul
-        new = mix * (B[plane] @ g[None] @ Bd[plane]) \
+        new = mix * zl._mm(zl._mm(B[plane], g[None]), Bd[plane]) \
             + (1 - mix) * sig_old[plane]
         sig = sig.at[plane].set(new)
         diff = jnp.max(jnp.abs(sig - sig_old)) / jnp.maximum(
@@ -844,7 +846,7 @@ def _bethe_contact_fn(static_key, Xi_h, i: int):
             ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
             sig = sig.at[ix].set(sig_atom)
         if orthogonal:
-            sig = Xi @ sig @ Xi
+            sig = zl._mm(zl._mm(Xi, sig), Xi)
         if spin in ("u", "ro"):
             sig = jnp.kron(jnp.eye(2), sig)
         elif spin == "g":
@@ -884,7 +886,7 @@ def _bethe_embed_fn(static_key, Xi_h, i: int):
             ix = np.ix_(np.asarray(f_inds), np.asarray(f_inds))
             sig = sig.at[ix].set(sig_atom)
         if orthogonal:
-            sig = Xi @ sig @ Xi
+            sig = zl._mm(zl._mm(Xi, sig), Xi)
         if spin in ("u", "ro"):
             sig = jnp.kron(jnp.eye(2), sig)
         elif spin == "g":

@@ -62,12 +62,15 @@ def surface_g_sancho(A, B, conv=SURFACE_GREEN_CONVERGENCE, max_iter=64):
     def body(state):
         eps_s, eps, al, be, _, count = state
         g = _zinv(eps)
-        agb = al @ g @ be
-        bga = be @ g @ al
+        # explicit HIGHEST: a bare @ runs one-pass bf16 on TPU, which
+        # floors the decimation's convergence metric and can blow up the
+        # doubling transients (e36: non-finite k-space T(E) on device)
+        agb = zl._mm(zl._mm(al, g), be)
+        bga = zl._mm(zl._mm(be, g), al)
         eps_s_new = eps_s - agb
         eps_new = eps - agb - bga
-        al_new = al @ g @ al
-        be_new = be @ g @ be
+        al_new = zl._mm(zl._mm(al, g), al)
+        be_new = zl._mm(zl._mm(be, g), be)
         diff = jnp.max(jnp.abs(eps_s_new - eps_s)) / jnp.maximum(
             jnp.max(jnp.abs(eps_s_new)), 1e-30)
         return (eps_s_new, eps_new, al_new, be_new, diff, count + 1)
@@ -101,7 +104,7 @@ def surface_g_dyson(A, B, conv=SURFACE_GREEN_CONVERGENCE,
 
     def body(state):
         count, diff, g = state
-        g_new = _zinv(A - B @ g @ B_dag)
+        g_new = _zinv(A - zl._mm(zl._mm(B, g), B_dag))
         dg = jnp.abs(g_new - g) / jnp.maximum(jnp.abs(g_new), 1e-12)
         diff = jnp.max(dg)
         g = g_new * relax + g * (1 - relax)

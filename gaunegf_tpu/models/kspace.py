@@ -313,14 +313,16 @@ def kspace_sigma_down(E, H, Slist, Vlist, plane_ph, down_ph, eta=ETA,
 
     def per_k(Ak, Bk):
         g = surface_g_sancho(Ak, Bk, conv, max_iter)
-        return Bk @ g @ jnp.conj(Bk).T
+        # explicit HIGHEST (bare @ is one-pass bf16 on TPU, see chain1d)
+        return zl._mm(zl._mm(Bk, g), jnp.conj(Bk).T)
 
     sig = jax.vmap(per_k)(A, B)
     if sym_mask is None:
         return jnp.mean(sig, axis=0)
     D = jnp.asarray(sym_D, cdt)
     m = jnp.asarray(sym_mask, cdt)
-    out = jnp.einsum("ro,oij,rjk,olk->il", m, D, sig, D)
+    out = jnp.einsum("ro,oij,rjk,olk->il", m, D, sig, D,
+                     precision=jax.lax.Precision.HIGHEST)
     denom = jnp.sum(m) if nk_full is None else jnp.asarray(nk_full, cdt)
     return out / denom
 
@@ -363,7 +365,7 @@ def kspace_sigma_surface(E, H, Slist, Vlist, plane_ph, down_ph, eta=ETA,
         count, diff, sig = state
         sig_old = sig
         g = zl.zinv(A - sig_down - jnp.sum(sig, axis=0))
-        new = mix * (B[plane] @ g[None] @ Bd[plane]) \
+        new = mix * zl._mm(zl._mm(B[plane], g[None]), Bd[plane]) \
             + (1 - mix) * sig_old[plane]
         sig = sig.at[plane].set(new)
         diff = jnp.max(jnp.abs(sig - sig_old)) / jnp.maximum(

@@ -209,7 +209,7 @@ def _point_gless_weighted(E, w, H, S, params, sig_tot_fn, sig_c_fn, exec_cfg):
     Gr = _gr_point(E, H, S, sig_tot, exec_cfg)
     Ga = jnp.conj(Gr).T
     gamma = (1j * (sig_c - jnp.conj(sig_c).T)).astype(H.dtype)
-    return (w * (Gr @ gamma @ Ga)).astype(H.dtype)
+    return (w * zl._mm(zl._mm(Gr, gamma), Ga)).astype(H.dtype)
 
 
 def _point_transmission(E, H, S, params, sig_tot_fn, g1_fn, g2_fn, exec_cfg):
@@ -220,7 +220,8 @@ def _point_transmission(E, H, S, params, sig_tot_fn, g1_fn, g2_fn, exec_cfg):
     s2 = g2_fn(params, E)
     gamma1 = 1j * (s1 - jnp.conj(s1).T)
     gamma2 = 1j * (s2 - jnp.conj(s2).T)
-    return jnp.real(jnp.trace(gamma1 @ Gr @ gamma2 @ Ga))
+    return jnp.real(jnp.trace(
+        zl._mm(zl._mm(zl._mm(gamma1, Gr), gamma2), Ga)))
 
 
 def _gr_cols(E, H, S, sigma, cols, exec_cfg):
@@ -267,7 +268,8 @@ def _point_transmission_lowrank(E, H, S, params, sig_tot_fn, g1_fn, g2_fn,
     ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
     gamma1 = 1j * (s1[ix1] - jnp.conj(s1[ix1]).T)
     gamma2 = 1j * (s2[ix2] - jnp.conj(s2[ix2]).T)
-    return jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
+    return jnp.real(jnp.trace(zl._mm(
+        zl._mm(zl._mm(gamma1, G12), gamma2), jnp.conj(G12).T)))
 
 
 def _point_gless_weighted_lowrank(E, w, H, S, params, sig_tot_fn, sig_c_fn,
@@ -279,7 +281,8 @@ def _point_gless_weighted_lowrank(E, w, H, S, params, sig_tot_fn, sig_c_fn,
     sig_c = sig_c_fn(params, E) if sig_c_fn is not None else sig_tot
     ix = np.ix_(np.asarray(c), np.asarray(c))
     gamma = (1j * (sig_c[ix] - jnp.conj(sig_c[ix]).T)).astype(H.dtype)
-    return (w * (Y @ gamma @ jnp.conj(Y).T)).astype(H.dtype)
+    return (w * zl._mm(zl._mm(Y, gamma),
+                       jnp.conj(Y).T)).astype(H.dtype)
 
 
 def _point_gr_diag(E, H, S, params, sig_tot_fn, exec_cfg):
@@ -427,7 +430,8 @@ def _point_transmission_lowrank_cols(E, H, S, params, sig_tot_fn, g1_fn,
     ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
     gamma1 = 1j * (s1[ix1] - jnp.conj(s1[ix1]).T)
     gamma2 = 1j * (s2[ix2] - jnp.conj(s2[ix2]).T)
-    t = jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
+    t = jnp.real(jnp.trace(zl._mm(
+        zl._mm(zl._mm(gamma1, G12), gamma2), jnp.conj(G12).T)))
     return _pick_psum(t, MODEL_AXIS)
 
 
@@ -831,7 +835,8 @@ def _point_transmission_pre(E, H, S, sigs, exec_cfg):
     s1, s2 = sigs[0], sigs[-1]
     gamma1 = 1j * (s1 - jnp.conj(s1).T)
     gamma2 = 1j * (s2 - jnp.conj(s2).T)
-    return jnp.real(jnp.trace(gamma1 @ Gr @ gamma2 @ Ga))
+    return jnp.real(jnp.trace(
+        zl._mm(zl._mm(zl._mm(gamma1, Gr), gamma2), Ga)))
 
 
 def _point_transmission_pre_lowrank(E, H, S, sigs, c1, c2, exec_cfg):
@@ -849,7 +854,8 @@ def _point_transmission_pre_lowrank(E, H, S, sigs, c1, c2, exec_cfg):
     ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
     gamma1 = 1j * (s1[ix1] - jnp.conj(s1[ix1]).T)
     gamma2 = 1j * (s2[ix2] - jnp.conj(s2[ix2]).T)
-    return jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
+    return jnp.real(jnp.trace(zl._mm(
+        zl._mm(zl._mm(gamma1, G12), gamma2), jnp.conj(G12).T)))
 
 
 @lru_cache(maxsize=None)
@@ -936,7 +942,7 @@ def _build_sum_engine_warm(kind: str, warm_fn, exec_cfg: ExecutionConfig,
         Gr = _gr_point(e, H, S, sig_tot, exec_cfg)
         Ga = jnp.conj(Gr).T
         gamma = (1j * (sig_c - jnp.conj(sig_c).T)).astype(H.dtype)
-        return (w * (Gr @ gamma @ Ga)).astype(H.dtype)
+        return (w * zl._mm(zl._mm(Gr, gamma), Ga)).astype(H.dtype)
 
     def device_body(params, H, S, E, w, state0, varying=False):
         chunk = E.shape[-1]
