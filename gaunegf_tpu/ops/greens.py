@@ -1566,6 +1566,11 @@ class EnergyEngine:
         self._H_host = np.asarray(H)
         self._S_host = np.asarray(S)
         self._spectral = _SPECTRAL_UNSET
+        # remember whether the chunk was auto-resolved: the LU heuristic
+        # (72 N^2 B/lane) starves the spectral engine at large N (its
+        # per-lane footprint is ~64 k N B, not N^2) -- the runner picks
+        # its own chunk in that case
+        self._chunk_was_auto = not exec_cfg.energy_chunk
         if not exec_cfg.energy_chunk:
             exec_cfg = _auto_chunk_cfg(exec_cfg, np.asarray(H).shape[-1])
         self.exec_cfg = exec_cfg
@@ -1839,7 +1844,8 @@ class EnergyEngine:
                 try:
                     r = SpectralRunner(H_host, self._S_host, self.provider,
                                        self.exec_cfg, self.mesh,
-                                       put_fn=self._put_cached)
+                                       put_fn=self._put_cached,
+                                       chunk_auto=self._chunk_was_auto)
                     self._spectral = r if r.available else None
                 except Exception:
                     self._spectral = None

@@ -805,13 +805,28 @@ class SpectralRunner:
     """
 
     def __init__(self, H, S, provider, exec_cfg: ExecutionConfig,
-                 mesh: Optional[Mesh], put_fn=None):
+                 mesh: Optional[Mesh], put_fn=None, chunk_auto=False):
         self.exec_cfg = exec_cfg
         self.mesh = mesh
         self.available = False
         struct = detect_structure(provider, S)
         if struct is None:
             return
+        if chunk_auto:
+            # spectral-specific auto chunk: the engine's live per-lane
+            # buffers are the stacked (N, ch*k) factor pairs (~64*k*N B
+            # per lane), NOT the LU's 72 N^2 -- the LU heuristic picks
+            # chunk 4 at N=4096 and starves the stacked matmuls (e37:
+            # 1.14 pts/s).  Largest power of two with 64*ch*k*N <= 2 GB,
+            # clamped to [8, 32]
+            import dataclasses
+            k = max(len(struct.c), 1)
+            N = np.asarray(H).shape[-1]
+            ch = 8
+            while ch * 2 <= 32 and 64 * (ch * 2) * k * N <= 2e9:
+                ch *= 2
+            exec_cfg = dataclasses.replace(exec_cfg, energy_chunk=ch)
+            self.exec_cfg = exec_cfg
         if exec_cfg.spectral_basis == "device":
             out = device_basis(H, S)
             if out is None:
