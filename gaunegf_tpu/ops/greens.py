@@ -1566,6 +1566,7 @@ class EnergyEngine:
         self._H_host = np.asarray(H)
         self._S_host = np.asarray(S)
         self._spectral = _SPECTRAL_UNSET
+        self._spectral_fb = None
         # remember whether the chunk was auto-resolved: the LU heuristic
         # (72 N^2 B/lane) starves the spectral engine at large N (its
         # per-lane footprint is ~64 k N B, not N^2) -- the runner picks
@@ -1761,9 +1762,28 @@ class EnergyEngine:
                                         Eg, wg, epilog=epilog)
                 if out is not None:
                     if Eb.size:
-                        out = out + self._gr_sum_lu(Eb, wb, epilog)
+                        out = out + self._spectral_fallback_engine() \
+                            ._gr_sum_lu(Eb, wb, epilog)
                     return out
         return self._gr_sum_lu(E, w, epilog)
+
+    def _spectral_fallback_engine(self):
+        """Exact-tier sibling serving the spectral route's sub-dist_lu
+        points.  Those sit within 1e-5 of a bare eigenvalue; when the
+        eigenvector couples weakly to the contacts, cond(A) reaches
+        ~1e6+ and the MIXED refinement floors at cond * u_res ~ 1e-1
+        (measured 17% on a dist-4.4e-7 point, e41 round 4).  The exact
+        tier's error-free Ozaki residuals hold cond * 1e-13 ~ 1e-7.
+        The dispatch is a handful of points per grid (chunk 4), so the
+        f64-class tier costs nothing at the grid scale."""
+        if self._spectral_fb is None:
+            import dataclasses
+            cfg = dataclasses.replace(
+                self.exec_cfg, precision="exact", solver="lu",
+                energy_chunk=4, continuation=False)
+            self._spectral_fb = EnergyEngine(
+                self._H_host, self._S_host, self.provider, cfg, self.mesh)
+        return self._spectral_fb
 
     def _gr_sum_lu(self, E, w, epilog=None):
         """The LU engine family (warm / continuation / dw / mp / standard)."""
@@ -1904,7 +1924,8 @@ class EnergyEngine:
                                            Eg, wg, contact)
                 if out is not None:
                     if Eb.size:
-                        out = out + self._gless_sum_lu(Eb, wb, contact)
+                        out = out + self._spectral_fallback_engine() \
+                            ._gless_sum_lu(Eb, wb, contact)
                     return out
         return self._gless_sum_lu(E, w, contact)
 
@@ -2044,7 +2065,8 @@ class EnergyEngine:
                     vals = np.empty(E_arr.size, dtype=np.float64)
                     vals[~bad] = good_vals
                     if bad.any():
-                        vals[bad] = self._transmission_lu(E_arr[bad])
+                        vals[bad] = self._spectral_fallback_engine() \
+                            ._transmission_lu(E_arr[bad])
                     return vals
         return self._transmission_lu(E)
 
