@@ -39,8 +39,8 @@ def parse_trace(logdir, top=24):
             events.append((float(ev["ts"]), float(ev["dur"]),
                            ev.get("name", "?")))
     if not events:
-        log("no device events found; pids seen: "
-            f"{sorted({e.get('pid') for e in data.get('traceEvents', [])})[:10]}")
+        pids = {str(e.get("pid")) for e in data.get("traceEvents", [])}
+        log(f"no device events found; pids seen: {sorted(pids)[:10]}")
         return
     # self time: subtract directly-contained children (stack sweep)
     events.sort(key=lambda e: (e[0], -e[1]))
