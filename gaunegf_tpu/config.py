@@ -169,6 +169,21 @@ class ExecutionConfig:
     # product error * |D| <= 1e-8 over the whole dw range, two decades
     # under the mixed contract
     spectral_dw: str = "lite"
+    # analytic pole deflation (round-4 session 4): points closer than
+    # dist_f32 are served by an f32 assembly that treats their m nearest
+    # eigenmodes via a block Sherman-Morrison identity in which every
+    # 1/(z-lam) cancellation resolves in CLOSED FORM (the near-near block
+    # collapses to S_m^-1 = (diag(z-lam_near) - B_m)^-1, all O(1)
+    # intermediates; z-lam_near is computed in double-word, so no
+    # catastrophic cancellation anywhere).  This replaces BOTH the
+    # double-word near-pole segment and the per-point LU fallback
+    # (spectral_dist_lu) -- arbitrary pole distances, including exact
+    # real-axis hits, run in the single f32-family dispatch.  Value =
+    # number of deflated modes per point (must cover every eigenvalue
+    # within ~dist_f32 of the point; 8 covers spacing down to
+    # ~dist_f32/2, i.e. N ~ 100k on a 4 eV band).  0 restores the
+    # round-4-session-3 dw-segment + LU-fallback ladder.
+    spectral_deflate: int = 8
     # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK,
     # the accuracy reference) or 'device' (f32 XLA eigh + Ogita-Aishima
     # double-word refinement, all-MXU -- for hosts whose serial eigh would

@@ -441,7 +441,7 @@ def _exact_kind(mode):
     (~1e-13, ~4x fewer MXU passes -- zlinalg.matmul_ozaki_lite); 'dw'
     keeps the full error-free products (~3.6e-15) for callers that ask
     for them via ExecutionConfig.spectral_dw='full'."""
-    return {"f32": False, "dwl": "lite", "dw": True}[mode]
+    return {"f32": False, "dwl": "lite", "dw": True, "defl": False}[mode]
 
 
 def _k_chain(e_dw, M, basis, mode):
@@ -486,6 +486,192 @@ def _k_chain(e_dw, M, basis, mode):
         Ai = zl.zinv_dw(A[0], A[1], steps=2)
     K = zl.zmatmul_dw(Ai, M_dw, exact=exact)             # (k, k) dw
     return D, X_dw, Y_dw, G0, K
+
+
+def _k_chain_defl(e_dw, M, basis, idx):
+    """The deflated Woodbury chain (mode='defl', round-4 session 4).
+
+    The m modes in `idx` (the point's nearest eigenvalues) are removed
+    from the bare resolvent and reintroduced ANALYTICALLY via a block
+    Sherman-Morrison identity in which every 1/(z-lam_near) cancellation
+    resolves in closed form: with delta = z' - lam_near computed in
+    double-word, u = Cc[:, idx], A' = I - M G0' (G0' the deflated
+    contact-block resolvent) and W = A'^-1 M u, L = u^T A'^-1 M,
+    B = u^T W, the capacitance S_m = diag(delta) - B is O(1)-conditioned
+    and
+
+        A^-1          = A'^-1 + W S_m^-1 u^T A'^-1
+        K u diag(1/d) = W S_m^-1            (no 1/d anywhere)
+        diag(1/d) u^T K = S_m^-1 L
+        near-near block of Ghat = S_m^-1    (Delta + Delta u^T K u Delta)
+
+    so the f32 assembly serves ARBITRARY pole distances -- including
+    exact real-axis hits -- without the dw segment or the LU fallback
+    (measured: the round-4 N=1000 bench grid's dist-4.4e-7 point costs
+    4.9e-2 through the dw tier but ~1e-7 here).  All products run the
+    double-float tier: every intermediate is bounded by 1/gap(m+1), the
+    distance to the nearest NON-deflated eigenvalue.
+
+    Returns (Dp, Xp, Yp, G0p, Kf, W, L, Sinv, u_c, onehot): the masked
+    bare diagonal, deflated factors, full SM-corrected K, and the
+    deflation blocks the kernels assemble from."""
+    eh, el = e_dw
+    lam_hi = basis["lam_hi"]
+    lam_lo = basis["lam_lo"]
+    Cc = basis["Cc"]                         # (k, N) real f32
+    cdt = eh.dtype
+    N = Cc.shape[1]
+
+    # full bare resolvent diagonal, then mask the deflated modes.  The
+    # denominator is sanitized to 1 on the masked modes BEFORE the
+    # reciprocal: a deflated mode may sit EXACTLY on the grid point
+    # (delta = 0 -> 1/0 = inf -> inf * mask = nan)
+    dh, de = zl.ctwo_sum(eh, (-lam_hi).astype(cdt))
+    dl = el + de - lam_lo.astype(cdt)
+    onehot = (lax.iota(jnp.int32, N)[None, :] == idx[:, None]).astype(
+        Cc.dtype)                            # (m, N) real, exact
+    far = 1.0 - jnp.sum(onehot, axis=0)      # (N,) real {0, 1}
+    one = jnp.ones((), cdt)
+    D = _cdw_recip((jnp.where(far > 0, dh, one),
+                    jnp.where(far > 0, dl, 0.0 * one)))
+    Dp = (D[0] * far, D[1] * far)            # (N,) dw, masked
+    # delta = z' - lam_near in double-word (the only place the tiny
+    # pole distance appears -- exact by construction)
+    dlt_h = jnp.sum(onehot * dh[None, :], axis=1)
+    dlt_l = jnp.sum(onehot * dl[None, :], axis=1)   # (m,) dw
+
+    Xp = _cdw_scale_rows(Dp, Cc.T)           # (N, k) dw, bounded
+    Yp = _cdw_scale_cols(Cc, Dp)             # (k, N) dw
+    Cc_c = _as_cdw(Cc.astype(cdt))
+    u = jnp.take(Cc, idx, axis=1)                        # (k, m)
+    u_c = _as_cdw(u.astype(cdt))
+    uT_c = _as_cdw(u.T.astype(cdt))
+    M_dw = _as_cdw(M)
+
+    # The k-chain runs LITE-exact leading products and exact-residual
+    # inverse steps: S_m's relative error lands 1:1 on G wherever the
+    # near-pole block dominates, and the double-float tier floors at
+    # ~5e-7 (zinv_dw's hp-residual floor, bisected round-4 session 4:
+    # Sinv at dwf cost 2.25e-3 on the bench's dist-4.4e-7 point).  All
+    # of this is O(N k^2) or smaller -- the heavy O(N^2 k) assembly
+    # stays on the double-float tier, whose ~8e-8 product error enters
+    # G only at bounded magnitudes.
+    G0p = zl.zmatmul_dw(Cc_c, Xp, exact="lite")          # (k, k) dw
+    MG = zl.zmatmul_dw(M_dw, G0p, exact="lite")
+    k = Cc.shape[0]
+    eye = jnp.eye(k, dtype=cdt)
+    Ap = zl.cdw_sub(_as_cdw(eye), MG)
+    Ai = zl.zinv_dw(Ap[0], Ap[1], steps=2, exact_steps=1,
+                    exact_kind="lite")
+    Kp = zl.zmatmul_dw(Ai, M_dw, exact="lite")           # A'^-1 M
+    W = zl.zmatmul_dw(Ai, zl.zmatmul_dw(M_dw, u_c, exact="lite"),
+                      exact="lite")                      # (k, m)
+    L = zl.zmatmul_dw(uT_c, Kp, exact="lite")            # (m, k)
+    B = zl.zmatmul_dw(L, u_c, exact="lite")              # (m, m)
+    S_m = zl.cdw_sub((jnp.diag(dlt_h), jnp.diag(dlt_l)), B)
+    Sinv = zl.zinv_dw(S_m[0], S_m[1], steps=2, exact_steps=2,
+                      exact_kind="lite")
+    Kf = zl.cdw_add2(Kp, zl.zmatmul_dw(
+        zl.zmatmul_dw(W, Sinv, exact="lite"), L, exact="lite"))
+    return Dp, Xp, Yp, G0p, Kf, W, L, Sinv, u_c, onehot
+
+
+def _point_factors_defl(e_dw, w, idx, params, sig_tot_fn, sig_block_fn,
+                        c, bg_cc, basis):
+    """One deflated retarded point -> (X_ext, Z_ext, D', w).
+
+    Ghat - D' = [X', P] @ [K Y' + W S_m^-1 P^T ;
+                           S_m^-1 L Y' + S_m^-1 P^T]
+    with P the (N, m) near-mode selector, so the chunk stacks into ONE
+    (N, ch*(k+m)) @ (ch*(k+m), N) matmul exactly like the plain modes."""
+    eh, _ = e_dw
+    M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc,
+                     eh.dtype)
+    Dp, Xp, Yp, _, Kf, W, L, Sinv, _, onehot = _k_chain_defl(
+        e_dw, M, basis, idx)
+    P_c = _as_cdw(onehot.astype(eh.dtype))               # (m, N)
+    WS = zl.zmatmul_dw(W, Sinv)                          # (k, m)
+    R1 = zl.cdw_add2(zl.zmatmul_dw(Kf, Yp), zl.zmatmul_dw(WS, P_c))
+    R2 = zl.zmatmul_dw(Sinv, zl.cdw_add2(zl.zmatmul_dw(L, Yp), P_c))
+    Z = (jnp.concatenate([R1[0], R2[0]], axis=0),
+         jnp.concatenate([R1[1], R2[1]], axis=0))        # (k+m, N)
+    Z = _cdw_smul_single(w, Z)
+    Pt = onehot.T.astype(eh.dtype)
+    X = (jnp.concatenate([Xp[0], Pt], axis=1),
+         jnp.concatenate([Xp[1], jnp.zeros_like(Pt)], axis=1))
+    return X[0] + X[1], Z[0] + Z[1], Dp, w
+
+
+def _point_gless_factors_defl(e_dw, w, idx, params, sig_tot_fn,
+                              sig_block_fn, gamma_fn, c, bg_cc, basis):
+    """One deflated G< point -> (Xt, R), same contract as the plain
+    kernel: Xt = G P_c in the eigenbasis, with the near modes folded in
+    analytically:
+
+        Xt = X' [I + K G0' + W S_m^-1 u^T] + P S_m^-1 [u^T + L G0']."""
+    eh, _ = e_dw
+    cdt = eh.dtype
+    M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt)
+    _, Xp, _, G0p, Kf, W, L, Sinv, u_c, onehot = _k_chain_defl(
+        e_dw, M, basis, idx)
+    uT_c = (u_c[0].T, u_c[1].T)
+    k = len(c)
+    eye = jnp.eye(k, dtype=cdt)
+    T1 = zl.cdw_add2(
+        zl.cdw_add2(_as_cdw(eye), zl.zmatmul_dw(Kf, G0p)),
+        zl.zmatmul_dw(zl.zmatmul_dw(W, Sinv), uT_c))     # (k, k)
+    T2 = zl.zmatmul_dw(Sinv, zl.cdw_add2(uT_c, zl.zmatmul_dw(L, G0p)))
+    Xt = zl.cdw_add2(zl.zmatmul_dw(Xp, T1),
+                     zl.zmatmul_dw((onehot.T.astype(cdt),
+                                    jnp.zeros((onehot.shape[1],
+                                               onehot.shape[0]), cdt)),
+                                   T2))                  # (N, k) dw
+    if gamma_fn is not None:
+        sig_c = gamma_fn(params, eh)
+        cix = np.asarray(c, dtype=np.int64)
+        blk = sig_c[cix][:, cix].astype(cdt)
+    else:
+        blk = M
+    gamma = (1j * (blk - jnp.conj(blk).T)).astype(cdt)
+    R = zl.zmatmul_dw(_cdw_smul_single(w, _as_cdw(gamma)),
+                      zl.cdw_conj_t(Xt))                 # (k, N) dw
+    return Xt[0] + Xt[1], R[0] + R[1]
+
+
+def _point_transmission_defl(e_dw, idx, params, sig_tot_fn, sig_block_fn,
+                             g1_fn, g2_fn, c, c1, c2, bg_cc, basis):
+    """Deflated T(E): the contact-block Green's function assembles as
+
+        Gcc = G0' + G0' K G0' + (G0' W) S_m^-1 u^T
+            + u S_m^-1 (L G0') + u S_m^-1 u^T
+
+    -- every term O(1)-bounded, so near-pole grid points (where the
+    plain G0cc overflows the Woodbury cancellation) are exact here."""
+    eh, _ = e_dw
+    cdt = eh.dtype
+    M = _sigma_block(eh, params, sig_tot_fn, sig_block_fn, c, bg_cc, cdt)
+    _, _, _, G0p, Kf, W, L, Sinv, u_c, _ = _k_chain_defl(
+        e_dw, M, basis, idx)
+    uT_c = (u_c[0].T, u_c[1].T)
+    Gcc = zl.cdw_add2(G0p, zl.zmatmul_dw(G0p, zl.zmatmul_dw(Kf, G0p)))
+    Gcc = zl.cdw_add2(Gcc, zl.zmatmul_dw(
+        zl.zmatmul_dw(G0p, W), zl.zmatmul_dw(Sinv, uT_c)))
+    Gcc = zl.cdw_add2(Gcc, zl.zmatmul_dw(
+        u_c, zl.zmatmul_dw(Sinv, zl.zmatmul_dw(L, G0p))))
+    Gcc = zl.cdw_add2(Gcc, zl.zmatmul_dw(
+        u_c, zl.zmatmul_dw(Sinv, uT_c)))
+    G = Gcc[0] + Gcc[1]
+    pos = {j: i for i, j in enumerate(c)}
+    p1 = np.asarray([pos[int(j)] for j in c1], dtype=np.int64)
+    p2 = np.asarray([pos[int(j)] for j in c2], dtype=np.int64)
+    G12 = G[p1][:, p2]
+    s1 = g1_fn(params, eh)
+    s2 = g2_fn(params, eh)
+    ix1 = np.ix_(np.asarray(c1), np.asarray(c1))
+    ix2 = np.ix_(np.asarray(c2), np.asarray(c2))
+    gamma1 = (1j * (s1[ix1] - jnp.conj(s1[ix1]).T)).astype(cdt)
+    gamma2 = (1j * (s2[ix2] - jnp.conj(s2[ix2]).T)).astype(cdt)
+    return jnp.real(jnp.trace(gamma1 @ G12 @ gamma2 @ jnp.conj(G12).T))
 
 
 def _point_factors(e_dw, w, params, sig_tot_fn, sig_block_fn, c, bg_cc,
@@ -578,7 +764,7 @@ def _point_transmission_sp(e_dw, params, sig_tot_fn, sig_block_fn,
 
 def _chunk_corr(Xs, Zs, mode):
     """sum_j X_j Z_j over the chunk as one stacked matmul -> (N, N) (dw)."""
-    if mode == "f32":
+    if mode in ("f32", "defl"):
         corr = jnp.einsum("cnk,ckm->nm", Xs, Zs, precision=_HIGHEST)
         return _as_cdw(corr)
     (Xh, Xl), (Zh, Zl) = Xs, Zs
@@ -620,7 +806,7 @@ def _rotate(basis, Shat_dw, diag_dw, mode):
     sh, e = zl.ctwo_sum(Shat_dw[0], jnp.diag(dh))
     sl = Shat_dw[1] + jnp.diag(dl) + e
     cdt = sh.dtype
-    if mode == "f32":
+    if mode in ("f32", "defl"):
         Chc = Ch.astype(cdt)
         mm = lambda a, b: jnp.matmul(a, b, precision=_HIGHEST)
         T = mm(Chc, sh)
@@ -661,25 +847,42 @@ def _build_spectral_sum_engine(kind: str, sig_tot_fn, sig_block_fn,
     imaginary part for epilog='im', halving the transfer: the
     single-word tiers cannot represent the lo part anyway)."""
 
-    def point(mode, e_dw, w, params, bg_cc, basis):
+    def point(mode, e_dw, w, idx, params, bg_cc, basis):
         if kind == "gr":
+            if mode == "defl":
+                return _point_factors_defl(e_dw, w, idx, params,
+                                           sig_tot_fn, sig_block_fn, c,
+                                           bg_cc, basis)
             return _point_factors(e_dw, w, params, sig_tot_fn,
                                   sig_block_fn, c, bg_cc, basis, mode)
-        Xt, R = _point_gless_factors(e_dw, w, params, sig_tot_fn,
-                                     sig_block_fn, gamma_fn, c, bg_cc,
-                                     basis, mode)
+        if mode == "defl":
+            Xt, R = _point_gless_factors_defl(e_dw, w, idx, params,
+                                              sig_tot_fn, sig_block_fn,
+                                              gamma_fn, c, bg_cc, basis)
+        else:
+            Xt, R = _point_gless_factors(e_dw, w, params, sig_tot_fn,
+                                         sig_block_fn, gamma_fn, c, bg_cc,
+                                         basis, mode)
         return Xt, R, None, None
 
     def device_body(params, basis, bg_cc, segs, varying=False):
         N = basis["C_hi"].shape[0]
         cdt = segs[0][0][0].dtype
 
-        def scan_fn_for(mode):
+        def scan_fn_for(mode, has_idx):
             def scan_fn(carry, inputs):
-                eh, el, wb = inputs
+                if has_idx:
+                    eh, el, wb, ixb = inputs
+                else:
+                    eh, el, wb = inputs
+                    ixb = None
                 Xs, Zs, Ds, _ = jax.vmap(
-                    lambda a, b, ww: point(mode, (a, b), ww, params,
-                                           bg_cc, basis))(eh, el, wb)
+                    lambda a, b, ww, ix: point(mode, (a, b), ww, ix,
+                                               params, bg_cc, basis)
+                )(eh, el, wb, ixb) if has_idx else jax.vmap(
+                    lambda a, b, ww: point(mode, (a, b), ww, None,
+                                           params, bg_cc, basis)
+                )(eh, el, wb)
                 corr = _chunk_corr(Xs, Zs, mode)
                 (Sh, Sl), (gh, gl) = carry
                 Sh2, e = zl.ctwo_sum(Sh, corr[0])
@@ -699,8 +902,13 @@ def _build_spectral_sum_engine(kind: str, sig_tot_fn, sig_block_fn,
         if varying:
             carry = jax.tree_util.tree_map(
                 lambda x: _pvary(x, (ENERGY_AXIS,)), carry)
-        for mode, ((Eh, El), w) in zip(modes, segs):
-            carry, _ = lax.scan(scan_fn_for(mode), carry, (Eh, El, w))
+        for mode, seg in zip(modes, segs):
+            (Eh, El), w = seg[0], seg[1]
+            if len(seg) > 2:
+                xs = (Eh, El, w, seg[2])
+            else:
+                xs = (Eh, El, w)
+            carry, _ = lax.scan(scan_fn_for(mode, len(seg) > 2), carry, xs)
         return carry
 
     def finalize(basis, Shat, diag):
@@ -710,8 +918,14 @@ def _build_spectral_sum_engine(kind: str, sig_tot_fn, sig_block_fn,
 
     def _merge_segs(segs_s):
         segs = merge_tree(segs_s)
-        return tuple((( Eh[0], El[0]), w[0])
-                     for ((Eh, El), w) in segs)
+        out = []
+        for seg in segs:
+            (Eh, El), w = seg[0], seg[1]
+            if len(seg) > 2:
+                out.append(((Eh[0], El[0]), w[0], seg[2][0]))
+            else:
+                out.append(((Eh[0], El[0]), w[0]))
+        return tuple(out)
 
     if mesh is None:
         @jax.jit
@@ -750,32 +964,53 @@ def _build_spectral_trans_engine(sig_tot_fn, sig_block_fn, g1_fn, g2_fn,
                                  mesh: Optional[Mesh], mode: str):
     """Jitted map engine: per-point T(E) with O(N k^2) work per point."""
 
-    def device_body(params, basis, bg_cc, E_dw):
+    def device_body(params, basis, bg_cc, E_dw, idx):
         Eh, El = E_dw
 
-        def scan_fn(_, inputs):
-            eh, el = inputs
-            vals = jax.vmap(
-                lambda a, b: _point_transmission_sp(
-                    (a, b), params, sig_tot_fn, sig_block_fn, g1_fn, g2_fn,
-                    c, c1, c2, bg_cc, basis, mode))(eh, el)
-            return None, vals
+        if mode == "defl":
+            def scan_fn(_, inputs):
+                eh, el, ixb = inputs
+                vals = jax.vmap(
+                    lambda a, b, ix: _point_transmission_defl(
+                        (a, b), ix, params, sig_tot_fn, sig_block_fn,
+                        g1_fn, g2_fn, c, c1, c2, bg_cc, basis))(eh, el,
+                                                                ixb)
+                return None, vals
+            xs = (Eh, El, idx)
+        else:
+            def scan_fn(_, inputs):
+                eh, el = inputs
+                vals = jax.vmap(
+                    lambda a, b: _point_transmission_sp(
+                        (a, b), params, sig_tot_fn, sig_block_fn, g1_fn,
+                        g2_fn, c, c1, c2, bg_cc, basis, mode))(eh, el)
+                return None, vals
+            xs = (Eh, El)
 
-        _, vals = lax.scan(scan_fn, None, (Eh, El))
+        _, vals = lax.scan(scan_fn, None, xs)
         return vals                          # (nch, ch) real
+
+    def _unpack(E_s):
+        if mode == "defl":
+            (Eh, El), idx = E_s
+            return (Eh[0], El[0]), idx[0]
+        Eh, El = E_s
+        return (Eh[0], El[0]), None
 
     if mesh is None:
         @jax.jit
         def engine(params_s, basis, bg_cc_s, E_s):
-            params, bg_cc, (Eh, El) = merge_tree((params_s, bg_cc_s, E_s))
-            return device_body(params, basis, bg_cc, (Eh[0], El[0]))[None]
+            params, bg_cc, E_m = merge_tree((params_s, bg_cc_s, E_s))
+            E_dw, idx = _unpack(E_m)
+            return device_body(params, basis, bg_cc, E_dw, idx)[None]
         return engine
 
     @jax.jit
     def engine(params_s, basis, bg_cc_s, E_s):
         def per_device(params_s, basis, bg_cc_s, E_s):
-            params, bg_cc, (Eh, El) = merge_tree((params_s, bg_cc_s, E_s))
-            return device_body(params, basis, bg_cc, (Eh[0], El[0]))[None]
+            params, bg_cc, E_m = merge_tree((params_s, bg_cc_s, E_s))
+            E_dw, idx = _unpack(E_m)
+            return device_body(params, basis, bg_cc, E_dw, idx)[None]
 
         return shard_map(
             per_device, mesh=mesh,
@@ -880,14 +1115,51 @@ class SpectralRunner:
                 blk[:, None] - self.lam64[None, :]).min(axis=1)
         return out
 
+    def _deflate_m(self):
+        """Deflated-mode count (0 disables the analytic deflation)."""
+        m = int(getattr(self.exec_cfg, "spectral_deflate", 0) or 0)
+        return min(m, self.lam64.size) if m > 0 else 0
+
+    def _near_idx(self, E, m):
+        """(n, m) int32 nearest-eigenvalue indices per shifted point."""
+        zp = np.asarray(E, dtype=np.complex128) - self.c0
+        lam = self.lam64
+        out = np.empty((zp.size, m), dtype=np.int32)
+        step = max(1, int(4e6 // max(lam.size, 1)))
+        for i in range(0, zp.size, step):
+            blk = np.abs(zp[i:i + step, None] - lam[None, :])
+            out[i:i + step] = np.argpartition(
+                blk, min(m, lam.size) - 1, axis=1)[:, :m]
+        return out
+
+    def _layout_idx(self, idx):
+        """Lay a (n, m) host index array out as (nd, nch, ch, m)."""
+        idx = np.asarray(idx, dtype=np.int32)
+        n_dev = 1 if self.mesh is None else self.mesh.shape[ENERGY_AXIS]
+        chunk = self.exec_cfg.energy_chunk
+        per = n_dev * chunk
+        n_pad = (-idx.shape[0]) % per
+        idx_p = np.concatenate(
+            [idx, np.repeat(idx[:1], n_pad, axis=0)], axis=0)
+        nch = idx_p.shape[0] // per
+        return idx_p.reshape(nch, n_dev, chunk, -1).transpose(1, 0, 2, 3)
+
     def _mode(self, E):
         """'f32' when every shifted grid point stays dist_f32 away from the
-        bare spectrum (|D| bounded => no Woodbury cancellation), else 'dw'.
+        bare spectrum (|D| bounded => no Woodbury cancellation); 'defl'
+        when analytic pole deflation is on and any point is nearer
+        (deflation serves arbitrary distances, so there is no 'too close'
+        once it is enabled); else the dw tier.
 
-        Callers are expected to have split away sub-dist_lu points already
-        (split_grid); called on a raw grid this returns the mode the
-        spectral part would use, or None when NO point qualifies."""
+        Without deflation, callers are expected to have split away
+        sub-dist_lu points already (split_grid); called on a raw grid this
+        returns the mode the spectral part would use, or None when NO
+        point qualifies."""
         d = self._dists(E)
+        if self._deflate_m() > 0:
+            if d.min() >= self.exec_cfg.spectral_dist_f32:
+                return "f32"
+            return "defl"
         ok = d >= self.exec_cfg.spectral_dist_lu
         if not ok.any():
             return None
@@ -897,11 +1169,18 @@ class SpectralRunner:
         return "dw" if self.exec_cfg.spectral_dw == "full" else "dwl"
 
     def bad_mask(self, E):
-        """Per-point mask of grid points the spectral route must NOT serve
-        (closer than dist_lu to a bare eigenvalue: even the dw Woodbury
-        assembly floors at ~eps_dw * |D| there, while the LU engines are
-        well-conditioned -- the contact coupling regularizes A)."""
-        return self._dists(E) < self.exec_cfg.spectral_dist_lu
+        """Per-point mask of grid points the spectral route must NOT serve.
+
+        Empty when analytic deflation is enabled (spectral_deflate > 0):
+        the deflated assembly is stable at arbitrary pole distances.
+        Otherwise: points closer than dist_lu to a bare eigenvalue (the
+        dw Woodbury assembly floors at ~eps_dw * |D| there, while the LU
+        engines are well-conditioned -- the contact coupling regularizes
+        A) go to the exact-tier LU sibling."""
+        d = self._dists(E)
+        if self._deflate_m() > 0:
+            return np.zeros(d.shape, dtype=bool)
+        return d < self.exec_cfg.spectral_dist_lu
 
     def split_grid(self, E, w):
         """Partition (E, w) into the spectral part and the LU-fallback part.
@@ -949,20 +1228,26 @@ class SpectralRunner:
         thresh = self.exec_cfg.spectral_dist_f32 * (
             3.0 if kind == "gless" else 1.0)
         far = d >= thresh
-        dwm = "dw" if self.exec_cfg.spectral_dw == "full" else "dwl"
+        m_defl = self._deflate_m()
+        near_mode = ("defl" if m_defl > 0 else
+                     ("dw" if self.exec_cfg.spectral_dw == "full"
+                      else "dwl"))
         segments = []
         if far.any():
-            segments.append(("f32", E[far], w[far]))
+            segments.append(("f32", E[far], w[far], None))
         if (~far).any():
-            segments.append((dwm, E[~far], w[~far]))
-        modes = tuple(m for m, _, _ in segments)
+            idx = self._near_idx(E[~far], m_defl) if m_defl > 0 else None
+            segments.append((near_mode, E[~far], w[~far], idx))
+        modes = tuple(m for m, _, _, _ in segments)
         segs_s = []
-        for _, Es, ws in segments:
+        for _, Es, ws, idx in segments:
             E_lay, w_lay, _, _ = _layout(Es - self.c0, ws, self.mesh,
                                          self.exec_cfg.energy_chunk)
-            segs_s.append((
-                self._dw_split_grid(E_lay),
-                split_tree(w_lay.astype(np.complex64), np.complex64)))
+            seg = (self._dw_split_grid(E_lay),
+                   split_tree(w_lay.astype(np.complex64), np.complex64))
+            if idx is not None:
+                seg = seg + (self._layout_idx(idx),)
+            segs_s.append(seg)
         eng = _build_spectral_sum_engine(kind, fn, block_fn, gamma_fn,
                                          self.c, self.exec_cfg, self.mesh,
                                          modes, epilog)
@@ -1009,6 +1294,10 @@ class SpectralRunner:
         eng = _build_spectral_trans_engine(fn, block_fn, g1, g2, self.c,
                                            c1, c2, self.exec_cfg,
                                            self.mesh, mode)
+        E_s = self._dw_split_grid(E_lay)
+        if mode == "defl":
+            E_s = (E_s, self._layout_idx(self._near_idx(
+                E, self._deflate_m())))
         out = merge_host(eng(params_split_fn(params), self.basis,
-                             self.bg_cc_s, self._dw_split_grid(E_lay)))
+                             self.bg_cc_s, E_s))
         return _unlayout(np.asarray(out), n).astype(np.float64)

@@ -80,24 +80,32 @@ def test_spectral_forced_dw_mode():
     _, _, zr, wr = _grids()
     truth = EnergyEngine(H, S, g, ExecutionConfig(
         precision="strict", energy_chunk=4)).gr_sum(zr, wr)
-    eng = EnergyEngine(H, S, g, ExecutionConfig(
+    # with deflation on (default), an all-near grid runs mode 'defl'
+    eng_d = EnergyEngine(H, S, g, ExecutionConfig(
         precision="mixed", energy_chunk=4, solver="spectral",
         spectral_dist_f32=1e9))
+    assert eng_d._spectral_runner()._mode(zr) == "defl"
+    assert _relerr(eng_d.gr_sum(zr, wr), truth) < 5e-6
+    # spectral_deflate=0 restores the dw-tier ladder
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_dist_f32=1e9, spectral_deflate=0))
     assert eng._spectral_runner()._mode(zr) == "dwl"
     assert _relerr(eng.gr_sum(zr, wr), truth) < 5e-6
     # the full-exact tier stays reachable and at least as accurate
     eng_full = EnergyEngine(H, S, g, ExecutionConfig(
         precision="mixed", energy_chunk=4, solver="spectral",
-        spectral_dist_f32=1e9, spectral_dw="full"))
+        spectral_dist_f32=1e9, spectral_dw="full", spectral_deflate=0))
     assert eng_full._spectral_runner()._mode(zr) == "dw"
     assert _relerr(eng_full.gr_sum(zr, wr), truth) < 5e-6
 
 
 def test_spectral_near_pole_grid():
-    """Grid points near bare eigenvalues: one inside the dw band (3e-5,
-    exercises the double-word Woodbury cancellation) and one inside the
-    LU band (1e-7, floors even the dw assembly and must be re-routed
-    through a second LU dispatch by split_grid)."""
+    """Grid points near bare eigenvalues: one inside the old dw band
+    (3e-5) and one inside the old LU band (1e-7).  With deflation on
+    (default) BOTH are served in the spectral dispatch (mode 'defl'
+    segment, no fallback); spectral_deflate=0 restores the dw-segment +
+    LU-fallback ladder.  Both must match the strict path."""
     H, S, inds = _system()
     g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
     lam, _ = spectral_basis(H, S)
@@ -111,16 +119,22 @@ def test_spectral_near_pole_grid():
         precision="mixed", energy_chunk=4, solver="spectral"))
     runner = eng._spectral_runner()
     (Eg, wg), (Eb, wb) = runner.split_grid(zr, wr)
-    assert Eb.size == 1 and abs(Eb[0] - zr[10]) < 1e-12
-    # the good part is served per-point: the 1e-4 point lands in the dw
-    # segment, far points in the f32 segment (one dispatch)
+    assert Eb.size == 0 and Eg.size == 24       # deflation serves all
     d = runner._dists(Eg)
-    assert (d < eng.exec_cfg.spectral_dist_f32).sum() >= 1
+    assert (d < eng.exec_cfg.spectral_dist_f32).sum() >= 2
     assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
+    # legacy ladder (deflation off): 1e-7 point re-routed through a
+    # second LU dispatch by split_grid, 3e-5 point in the dw segment
+    eng0 = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_deflate=0))
+    (Eg0, _), (Eb0, _) = eng0._spectral_runner().split_grid(zr, wr)
+    assert Eb0.size == 1 and abs(Eb0[0] - zr[10]) < 1e-12
+    assert _relerr(eng0.gr_sum(zr, wr), truth) < 1e-5
     # spectral_dw='full' (the round-4-early products) agrees too
     eng_full = EnergyEngine(H, S, g, ExecutionConfig(
         precision="mixed", energy_chunk=4, solver="spectral",
-        spectral_dw="full"))
+        spectral_dw="full", spectral_deflate=0))
     assert _relerr(eng_full.gr_sum(zr, wr), truth) < 1e-5
 
 
@@ -199,25 +213,35 @@ def test_basis_rejects_complex_h():
     assert spectral_basis(Hc, S) is None
 
 
-def test_on_pole_point_falls_back_to_lu():
+def test_on_pole_point_exact_hit():
     """c0 = 0 provider (no background) with a grid point numerically ON a
-    bare eigenvalue: split_grid must hand that point to the LU dispatch
-    and the combined result must match the strict path."""
+    bare eigenvalue (pole distance EXACTLY 0).  Deflation (default)
+    serves it inside the spectral dispatch: the capacitance
+    S_m = diag(z-lam_near) - B_m stays invertible through the contact
+    coupling's imaginary part even at delta = 0.  With deflation off,
+    split_grid must hand the point to the LU fallback instead.  Both
+    must match the strict path."""
     H, S, inds = _system()
     g = ConstantSelfEnergy(H, S, inds)          # default: no background
     lam, _ = spectral_basis(H, S)
     zr = np.linspace(-1.5, 1.5, 12)
     zr[4] = lam[30]
     wr = np.ones(12) / 12
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
     eng = EnergyEngine(H, S, g, ExecutionConfig(
         precision="mixed", energy_chunk=4, solver="spectral"))
     runner = eng._spectral_runner()
     assert runner is not None
     (Eg, _), (Eb, _) = runner.split_grid(zr, wr)
-    assert Eb.size == 1 and Eg.size == 11
-    truth = EnergyEngine(H, S, g, ExecutionConfig(
-        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    assert Eb.size == 0 and Eg.size == 12       # deflation serves all
     assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
+    eng0 = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_deflate=0))
+    (Eg0, _), (Eb0, _) = eng0._spectral_runner().split_grid(zr, wr)
+    assert Eb0.size == 1 and Eg0.size == 11
+    assert _relerr(eng0.gr_sum(zr, wr), truth) < 1e-5
 
 
 def test_spectral_gless_matches_strict():
@@ -231,6 +255,50 @@ def test_spectral_gless_matches_strict():
             precision="mixed", energy_chunk=4, solver="spectral"))
         got = eng.gless_sum(zr, wr, contact)
         assert _relerr(got, truth) < 5e-6, contact
+
+
+def test_spectral_gless_near_pole_deflated():
+    """G< with grid points at 1e-7 / 3e-5 / exact-zero pole distance:
+    the deflated kernel's analytic Sherman-Morrison identities must hold
+    for the sandwich Xt = G P_c too (bias-window grids run on the real
+    axis, where near-pole hits are routine at production N)."""
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    lam, _ = spectral_basis(H, S)
+    zr = np.linspace(-1.5, 1.5, 24)
+    zr[5] = lam[20] + 1e-7
+    zr[11] = lam[len(lam) // 2]
+    zr[17] = lam[60] + 3e-5
+    wr = np.ones(24) / 24
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gless_sum(zr, wr, 0)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    runner = eng._spectral_runner()
+    (Eg, _), (Eb, _) = runner.split_grid(zr, wr)
+    assert Eb.size == 0                          # deflation serves all
+    assert _relerr(eng.gless_sum(zr, wr, 0), truth) < 2e-5
+
+
+def test_spectral_deflated_segment_single_dispatch():
+    """A mixed far/near grid builds exactly two segments (f32 + defl)
+    and matches truth; an all-far grid stays pure f32 (no deflation
+    overhead on the bulk)."""
+    H, S, inds = _system()
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    lam, _ = spectral_basis(H, S)
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    runner = eng._spectral_runner()
+    far = np.linspace(-1.5, 1.5, 16) + 0.05j
+    assert runner._mode(far) == "f32"
+    zr = np.linspace(-1.5, 1.5, 16)
+    zr[3] = lam[30] + 1e-6
+    assert runner._mode(zr) == "defl"
+    wr = np.ones(16) / 16
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    assert _relerr(eng.gr_sum(zr, wr), truth) < 1e-5
 
 
 def test_spectral_transmission_matches_strict():
