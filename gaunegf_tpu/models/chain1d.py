@@ -51,37 +51,59 @@ def surface_g_sancho(A, B, conv=SURFACE_GREEN_CONVERGENCE, max_iter=64):
     B = (E + i*eta) * S_beta - beta     (renormalized hopping block)
 
     Each iteration doubles the effective chain length, so convergence is
-    quadratic; the loop state is (eps_s, eps, al, be, diff, count).
-    """
+    quadratic; the loop state is (eps_s, eps, al, be, c, diff, count).
+
+    The couplings are carried BALANCED with a joint exponent: near a
+    band feature the doubling drives al and be in OPPOSITE exponential
+    directions (their products stay O(1), but the factors reach 1e26+
+    and the squaring update overflows f32 one iteration before
+    convergence -- e36's non-finite k-space T(E), bisected round-4
+    session 4: al 1e-14 / be 7e+26 at the same step while f64 converges
+    on range alone).  Only the PRODUCTS al*g*be enter the eps updates,
+    so al and be are renormalized to max-norm 1 each step and the joint
+    log2 scale c is carried as a scalar: agb = (al_t g be_t) * exp2(c),
+    c' = 2c + log2(sa * sb).  exp2(c) underflowing to 0 IS convergence
+    (the coupling through the doubled chain has died)."""
     dt = A.dtype
+    rdt = jnp.zeros((), dt).real.dtype
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, rdt)
 
     def cond(state):
-        eps_s, eps, al, be, diff, count = state
+        eps_s, eps, al, be, c, diff, count = state
         return (diff > conv) & (count < max_iter)
 
     def body(state):
-        eps_s, eps, al, be, _, count = state
+        eps_s, eps, al, be, c, _, count = state
         g = _zinv(eps)
         # explicit HIGHEST: a bare @ runs one-pass bf16 on TPU, which
         # floors the decimation's convergence metric and can blow up the
         # doubling transients (e36: non-finite k-space T(E) on device)
-        agb = zl._mm(zl._mm(al, g), be)
-        bga = zl._mm(zl._mm(be, g), al)
+        scale = jnp.exp2(c).astype(rdt)
+        agb = zl._mm(zl._mm(al, g), be) * scale
+        bga = zl._mm(zl._mm(be, g), al) * scale
         eps_s_new = eps_s - agb
         eps_new = eps - agb - bga
         al_new = zl._mm(zl._mm(al, g), al)
         be_new = zl._mm(zl._mm(be, g), be)
+        # power-of-two norms: dividing by them is EXACT (mantissas
+        # untouched), so balancing is bit-transparent to the recursion
+        sa = jnp.exp2(jnp.ceil(jnp.log2(
+            jnp.maximum(jnp.max(jnp.abs(al_new)), tiny))))
+        sb = jnp.exp2(jnp.ceil(jnp.log2(
+            jnp.maximum(jnp.max(jnp.abs(be_new)), tiny))))
+        c_new = 2.0 * c + jnp.log2(sa) + jnp.log2(sb)
         diff = jnp.max(jnp.abs(eps_s_new - eps_s)) / jnp.maximum(
             jnp.max(jnp.abs(eps_s_new)), 1e-30)
-        return (eps_s_new, eps_new, al_new, be_new, diff, count + 1)
+        return (eps_s_new, eps_new, al_new / sa, be_new / sb, c_new,
+                diff, count + 1)
 
     # constant-seeded carries tied to A's shard_map varying-ness
     init = (A.astype(dt), A.astype(dt), B.astype(dt),
             jnp.conj(B).T.astype(dt),
+            zl._tie_vma(jnp.zeros((), rdt), A),
             # pin the inf carry to the computation's real dtype (under
             # x64 a bare inf is f64, mismatching an f32-input body)
-            zl._tie_vma(jnp.asarray(jnp.inf, jnp.zeros((), dt).real.dtype),
-                        A),
+            zl._tie_vma(jnp.asarray(jnp.inf, rdt), A),
             zl._tie_vma(jnp.zeros((), jnp.int32), A))
     eps_s, *_ = lax.while_loop(cond, body, init)
     return _zinv(eps_s)
@@ -236,23 +258,42 @@ def surface_g_sancho_dw(A_dw, B_dw, conv=SURFACE_GREEN_CONVERGENCE,
         count, diff, *_ = state
         return (diff > conv) & (count < max_iter)
 
+    rdt = jnp.real(A_dw[0]).dtype
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, rdt)
+
     def body(state):
-        count, diff, eps_s, eps, al, be = state
+        count, diff, eps_s, eps, al, be, c = state
         g = ginv(eps)
+        # balanced couplings with a joint power-of-two exponent (exact
+        # on dw pairs) -- same overflow pathology as the single-word
+        # kernel: al/be diverge in opposite exponential directions near
+        # convergence while only their PRODUCTS stay O(1)
+        scale = jnp.exp2(c).astype(rdt)
         agb = mm(al, mm(g, be))
+        agb = (agb[0] * scale, agb[1] * scale)
         bga = mm(be, mm(g, al))
+        bga = (bga[0] * scale, bga[1] * scale)
         eps_s_new = zl.cdw_sub(eps_s, agb)
         eps = zl.cdw_sub(zl.cdw_sub(eps, agb), bga)
         al = mm(al, mm(g, al))
         be = mm(be, mm(g, be))
+        # power-of-two norms: exact on both components of the dw pair
+        sa = jnp.exp2(jnp.ceil(jnp.log2(
+            jnp.maximum(jnp.max(jnp.abs(al[0])), tiny))))
+        sb = jnp.exp2(jnp.ceil(jnp.log2(
+            jnp.maximum(jnp.max(jnp.abs(be[0])), tiny))))
+        c = 2.0 * c + jnp.log2(sa) + jnp.log2(sb)
+        al = (al[0] / sa, al[1] / sa)
+        be = (be[0] / sb, be[1] / sb)
         diff = jnp.max(jnp.abs(eps_s_new[0] - eps_s[0])) / jnp.maximum(
             jnp.max(jnp.abs(eps_s_new[0])), 1e-30)
-        return (count + 1, diff, eps_s_new, eps, al, be)
+        return (count + 1, diff, eps_s_new, eps, al, be, c)
 
     init = (zl._tie_vma(jnp.zeros((), jnp.int32), A_dw[0]),
             zl._tie_vma(jnp.full((), jnp.inf, jnp.real(A_dw[0]).dtype),
                         A_dw[0]),
-            A_dw, A_dw, B_dw, zl.cdw_conj_t(B_dw))
+            A_dw, A_dw, B_dw, zl.cdw_conj_t(B_dw),
+            zl._tie_vma(jnp.zeros((), rdt), A_dw[0]))
     _, _, eps_s, *_ = lax.while_loop(cond, body, init)
     return ginv(eps_s)
 
