@@ -188,7 +188,9 @@ class ExecutionConfig:
     # the accuracy reference) or 'device' (f32 XLA eigh + Ogita-Aishima
     # double-word refinement, all-MXU -- for hosts whose serial eigh would
     # bottleneck the SCF cycle at N >~ 1500)
-    spectral_basis: str = "host"
+    # 'auto' = 'device' on accelerator backends, 'host' on CPU (e33: the
+    # per-Fock host eigh serializes an SCF cycle at production N)
+    spectral_basis: str = "auto"
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

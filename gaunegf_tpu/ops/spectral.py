@@ -1062,7 +1062,17 @@ class SpectralRunner:
                 ch *= 2
             exec_cfg = dataclasses.replace(exec_cfg, energy_chunk=ch)
             self.exec_cfg = exec_cfg
-        if exec_cfg.spectral_basis == "device":
+        basis_mode = exec_cfg.spectral_basis
+        if basis_mode == "auto":
+            # host LAPACK eigh serializes on one core (~3-4 s per Fock at
+            # N=1000 on this host: e33 measured the spectral SCF cycle at
+            # 6.1 s vs LU's 2.7 s, all of it setup); the device basis
+            # (f32 XLA eigh + Ogita-Aishima dw refinement, one dispatch)
+            # removes that from the cycle.  CPU keeps the f64 host path
+            # (it IS the accuracy reference there).
+            basis_mode = ("device" if jax.default_backend() != "cpu"
+                          else "host")
+        if basis_mode == "device":
             out = device_basis(H, S)
             if out is None:
                 return
