@@ -378,6 +378,54 @@ def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3):
     return lam64, lam_dw, C_dw
 
 
+@lru_cache(maxsize=None)
+def _build_union_ritz_fns(has_overlap: bool, c: tuple):
+    """Jitted device halves of the near-union Rayleigh-Ritz refinement.
+
+    The Ogita-Aishima device basis only ORTHONORMALIZES clusters (any
+    orthonormal cluster basis is equivalent for the far resolvent), but
+    the analytic pole deflation takes individual near-mode COLUMNS
+    (`_k_chain_defl`'s u = Cc[:, idx]) -- cluster-mixed vectors there
+    floor the deflated sum at ~4e-5 on device while the refined host
+    basis reaches ~4e-7 (e51/e52, round-4 session 5: splicing exact f64
+    eigenvalues changes nothing; rotating the union's vectors recovers
+    the host floor).  Fix: project the pencil onto the near-mode union
+    (plus its cluster padding) in double-word on device, eigh the tiny
+    (u, u) block on the host in f64, and rotate the union's columns --
+    O(N^2 u) device work + an O(u^3) host eigh, once per (Fock, union).
+
+    `project`: (H_dw, S_dw|None, C_dw, idx) -> (B_dw, M_dw) with
+    B = Cu^T H Cu and M = Cu^T S Cu (u x u real dw pairs, tiny D2H).
+    `rotate`: (C_dw, Q_dw, idx) -> (C_hi, C_lo, Cc) with the union's
+    columns replaced by Cu @ Q and the contact rows re-gathered."""
+
+    @jax.jit
+    def project(H_dw, S_dw, C_dw, idx):
+        Cu = (jnp.take(C_dw[0], idx, axis=1),
+              jnp.take(C_dw[1], idx, axis=1))
+        CuT = (Cu[0].T, Cu[1].T)
+        B = _mm_dw_real(CuT, _mm_dw_real(H_dw, Cu))
+        if has_overlap:
+            M = _mm_dw_real(CuT, _mm_dw_real(S_dw, Cu))
+        else:
+            M = _mm_dw_real(CuT, Cu)
+        return B, M
+
+    rows = jnp.asarray(np.asarray(c, dtype=np.int32))
+
+    @jax.jit
+    def rotate(C_dw, Q_dw, idx):
+        Cu = (jnp.take(C_dw[0], idx, axis=1),
+              jnp.take(C_dw[1], idx, axis=1))
+        P = _mm_dw_real(Cu, Q_dw)
+        Ch = C_dw[0].at[:, idx].set(P[0])
+        Cl = C_dw[1].at[:, idx].set(P[1])
+        Cc = jnp.take(Ch + Cl, rows, axis=0)
+        return Ch, Cl, Cc
+
+    return project, rotate
+
+
 # ---------------------------------------------------------------------------
 # Traced double-word helpers (vectors / small blocks)
 # ---------------------------------------------------------------------------
@@ -1072,6 +1120,8 @@ class SpectralRunner:
             # (it IS the accuracy reference there).
             basis_mode = ("device" if jax.default_backend() != "cpu"
                           else "host")
+        self._basis_is_device = basis_mode == "device"
+        self._ritz_cache: dict = {}
         if basis_mode == "device":
             out = device_basis(H, S)
             if out is None:
@@ -1083,6 +1133,26 @@ class SpectralRunner:
                 "C_hi": C_dw[0], "C_lo": C_dw[1],
                 "Cc": (C_dw[0] + C_dw[1])[np.asarray(struct.c), :],
             }
+            if self._deflate_m() > 0:
+                # the deflation's near-union Rayleigh-Ritz refinement
+                # (see _build_union_ritz_fns) projects the pencil onto
+                # the union on device: keep H (and S when not identity)
+                # device-resident as dw pairs (2 f32 N x N each)
+                H64 = np.asarray(H)
+                H64 = (H64.real if np.iscomplexobj(H64) else H64).astype(
+                    np.float64)
+                S64 = np.asarray(S, dtype=np.float64)
+                self._has_overlap = not np.allclose(
+                    S64, np.eye(S64.shape[0]), atol=1e-14)
+                self._H_dw = _dw_split_real(H64)
+                self._S_dw = (_dw_split_real(S64) if self._has_overlap
+                              else None)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding
+                    repl = NamedSharding(mesh, P())
+                    self._H_dw = jax.device_put(self._H_dw, repl)
+                    if self._S_dw is not None:
+                        self._S_dw = jax.device_put(self._S_dw, repl)
             if mesh is not None:
                 from jax.sharding import NamedSharding
                 basis_tree = jax.device_put(
@@ -1141,6 +1211,65 @@ class SpectralRunner:
             out[i:i + step] = np.argpartition(
                 blk, min(m, lam.size) - 1, axis=1)[:, :m]
         return out
+
+    def _defl_basis(self, idx):
+        """Basis for a dispatch that contains a deflated segment.
+
+        Host basis: already f64-exact, returned as-is.  Device basis:
+        the near-mode union's columns are only cluster-orthonormalized
+        by the Ogita-Aishima refinement, which floors the deflated
+        assembly at ~4e-5 on device (e51; splicing exact f64
+        eigenvalues changes nothing -- the error is in the VECTORS);
+        Rayleigh-Ritz-refine the union plus its cluster padding (e52:
+        recovers the host basis's ~4e-7).  Cached per padded union; the
+        union is bucket-padded to a multiple of 32 with the nearest
+        remaining modes so repeated grids reuse one compiled (u,)-shaped
+        kernel pair."""
+        if not self._basis_is_device:
+            return self.basis
+        lam = self.lam64
+        union = np.unique(np.asarray(idx, dtype=np.int64).ravel())
+        scale = max(np.abs(lam).max(), 1e-300)
+        ctol = 1e-3 * scale          # match device_basis's cluster_tol
+        dmin = np.abs(lam[:, None] - lam[union][None, :]).min(axis=1)
+        mask = dmin < ctol
+        mask[union] = True
+        u = np.nonzero(mask)[0]
+        target = min(lam.size, ((u.size + 31) // 32) * 32)
+        if target > u.size:
+            rest = np.nonzero(~mask)[0]
+            order = np.argsort(dmin[rest], kind="stable")
+            u = np.sort(np.concatenate(
+                [u, rest[order[:target - u.size]]]))
+        key = u.tobytes()
+        hit = self._ritz_cache.get(key)
+        if hit is not None:
+            return hit
+        import scipy.linalg as sla
+        project, rotate = _build_union_ritz_fns(self._has_overlap, self.c)
+        C_dw = (self.basis["C_hi"], self.basis["C_lo"])
+        idx_dev = jnp.asarray(u.astype(np.int32))
+        B_dw, M_dw = project(self._H_dw, self._S_dw, C_dw, idx_dev)
+        B = (np.asarray(B_dw[0], np.float64)
+             + np.asarray(B_dw[1], np.float64))
+        M = (np.asarray(M_dw[0], np.float64)
+             + np.asarray(M_dw[1], np.float64))
+        mu, Q = sla.eigh(0.5 * (B + B.T), 0.5 * (M + M.T))
+        Ch, Cl, Cc = rotate(C_dw, _dw_split_real(Q), idx_dev)
+        lam2 = lam.copy()
+        lam2[u] = mu                 # rank-wise pairing: both ascending
+        lam_hi = lam2.astype(np.float32)
+        tree = dict(self.basis)
+        tree.update(
+            C_hi=Ch, C_lo=Cl, Cc=Cc, lam_hi=lam_hi,
+            lam_lo=(lam2 - lam_hi.astype(np.float64)).astype(np.float32))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            tree = jax.device_put(tree, NamedSharding(self.mesh, P()))
+        if len(self._ritz_cache) >= 8:
+            self._ritz_cache.pop(next(iter(self._ritz_cache)))
+        self._ritz_cache[key] = tree
+        return tree
 
     def _layout_idx(self, idx):
         """Lay a (n, m) host index array out as (nd, nch, ch, m)."""
@@ -1243,11 +1372,14 @@ class SpectralRunner:
                      ("dw" if self.exec_cfg.spectral_dw == "full"
                       else "dwl"))
         segments = []
+        basis = self.basis
         if far.any():
             segments.append(("f32", E[far], w[far], None))
         if (~far).any():
             idx = self._near_idx(E[~far], m_defl) if m_defl > 0 else None
             segments.append((near_mode, E[~far], w[~far], idx))
+            if near_mode == "defl":
+                basis = self._defl_basis(idx)
         modes = tuple(m for m, _, _, _ in segments)
         segs_s = []
         for _, Es, ws, idx in segments:
@@ -1261,7 +1393,7 @@ class SpectralRunner:
         eng = _build_spectral_sum_engine(kind, fn, block_fn, gamma_fn,
                                          self.c, self.exec_cfg, self.mesh,
                                          modes, epilog)
-        out = merge_host(eng(params_split_fn(params), self.basis,
+        out = merge_host(eng(params_split_fn(params), basis,
                              self.bg_cc_s, tuple(segs_s)))
         return out.astype(np.float64 if epilog == "im" else np.complex128)
 
@@ -1305,9 +1437,11 @@ class SpectralRunner:
                                            c1, c2, self.exec_cfg,
                                            self.mesh, mode)
         E_s = self._dw_split_grid(E_lay)
+        basis = self.basis
         if mode == "defl":
-            E_s = (E_s, self._layout_idx(self._near_idx(
-                E, self._deflate_m())))
-        out = merge_host(eng(params_split_fn(params), self.basis,
+            idx = self._near_idx(E, self._deflate_m())
+            E_s = (E_s, self._layout_idx(idx))
+            basis = self._defl_basis(idx)
+        out = merge_host(eng(params_split_fn(params), basis,
                              self.bg_cc_s, E_s))
         return _unlayout(np.asarray(out), n).astype(np.float64)
