@@ -78,7 +78,7 @@ def _measure_anchor_solve(EnergyEngine, ExecutionConfig, system):
     """Pinned-config solve probe: N=512 fast-tier density sum."""
     H, S, g = system(512)
     eng = EnergyEngine(H, S, g, ExecutionConfig(
-        precision="fast", energy_chunk=32, lu_block=128))
+        precision="fast", energy_chunk=32, lu_block=128, solver="lu"))
     E = np.linspace(-2.0, 2.0, 128)
     w = np.ones(128)
     return _median_rate(lambda: eng.gr_sum(E, w), 128, repeats=3)
@@ -244,7 +244,7 @@ def main():
     N, n_E = 1000, 512      # long grid amortizes the ~1.2 s tunnel D2H
     H, S, g = system(N)
     eng = EnergyEngine(H, S, g, ExecutionConfig(
-        precision="mixed", energy_chunk=64))
+        precision="mixed", energy_chunk=64, solver="lu"))
     E = np.linspace(-2.0, 2.0, n_E)
     w = np.ones(n_E)
     with _stage("N=1000 mixed gr_sum"):
@@ -254,7 +254,7 @@ def main():
     N2, n_E2 = 2000, 128
     H2, S2, g2 = system(N2)
     eng2 = EnergyEngine(H2, S2, g2, ExecutionConfig(
-        precision="mixed", energy_chunk=16))
+        precision="mixed", energy_chunk=16, solver="lu"))
     E2 = np.linspace(-2.0, 2.0, n_E2)
     with _stage("N=2000 mixed gr_sum"):
         pts_2000 = _median_rate(lambda: eng2.gr_sum(E2, np.ones(n_E2)),

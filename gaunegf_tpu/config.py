@@ -143,12 +143,19 @@ class ExecutionConfig:
     # explicit one-pass bf16 products (bit-masked splits).
     lu_trail: str = "hi"
     # energy-grid solver family: 'lu' = per-point blocked LU (the round-1/2/3
-    # engines); 'spectral' = one host f64 eigh of the (H, S) pencil per Fock
-    # + rank-k Woodbury contact corrections per energy (O(N^2 k) per point
-    # instead of O(N^3); ops/spectral.py).  'spectral' silently falls back
-    # to 'lu' when the provider's Sigma is not (background + contact-block)
-    # or the pencil is not real-symmetric-definite.
-    solver: str = "lu"
+    # engines); 'spectral' = one eigendecomposition of the (H, S) pencil per
+    # Fock + rank-k Woodbury contact corrections per energy (O(N^2 k) per
+    # point instead of O(N^3); ops/spectral.py), silently falling back to
+    # 'lu' when the provider's Sigma is not (background + contact-block) or
+    # the pencil is not real-symmetric-definite; 'auto' (default since
+    # round 4) = 'spectral' with that same fallback.  Flipped after the
+    # round-4 device evidence: with analytic pole deflation + the union
+    # Rayleigh-Ritz basis refinement the spectral route is BOTH faster
+    # (e49: N=1000 bench grid 1343.9 pts/s vs LU 216.6) and more accurate
+    # near the real axis (e41: LU mixed floors at cond*u_res on near-pole
+    # grids -- PARITY.md) on the fast/mixed tiers; high/exact tiers keep
+    # the LU engines.
+    solver: str = "auto"
     # spectral route: minimum host-checked PER-POINT distance
     # min_n |z - c0 - lam_n| at which the f32 assembly is safe; closer
     # points use the double-word assembly (near-pole Woodbury

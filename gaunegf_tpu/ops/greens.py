@@ -1846,14 +1846,26 @@ class EnergyEngine:
     def _spectral_runner(self):
         """Lazy spectral-route state; None when disabled or unavailable.
 
-        Engages for solver='spectral' on the single-word tiers (the dw
+        Engages for solver='spectral'/'auto' on the single-word tiers (the dw
         tiers keep their LU engines until a dw-sigma spectral variant
         lands).  Availability is decided once per engine: the pencil must
         be real-symmetric-definite and Sigma = c0*S + contact block
         (ops/spectral.py detect_structure)."""
-        if self.exec_cfg.solver != "spectral" or self.high:
+        if self.exec_cfg.solver not in ("spectral", "auto") or self.high:
             return None
         if self.exec_cfg.precision == "strict":
+            return None
+        # the spectral engines shard over 'e' only; an active model axis
+        # means the caller wants the column-sharded / distributed LU
+        # family (zinv_refined_cols / zsolve_dist), which the spectral
+        # route would silently bypass -- decline and fall back
+        if (self.mesh is not None
+                and self.mesh.shape.get(MODEL_AXIS, 1) > 1):
+            return None
+        # continuation=True is an explicit opt-in for the Newton-Schulz
+        # chain (the default 'contour' only shapes the fused LU eq
+        # dispatch); honor it rather than silently rerouting
+        if self.exec_cfg.continuation is True:
             return None
         if self._spectral is _SPECTRAL_UNSET:
             from gaunegf_tpu.ops.spectral import SpectralRunner

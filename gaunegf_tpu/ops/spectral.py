@@ -41,9 +41,9 @@ so min_j,n |z'_j - lam_n| is an exact O(nE * N) precomputation.
 
 Reference parity: this route is invisible API-wise -- EnergyEngine.gr_sum
 (and friends) produce the same sums GrInt does (integrate.py:84-142); the
-spectral path engages when ExecutionConfig.solver='spectral' and the
-provider's self-energy is detectably (background + contact-block); anything
-else falls back to the LU engines.
+spectral path engages when ExecutionConfig.solver is 'spectral' or 'auto'
+(the default since round 4) and the provider's self-energy is detectably
+(background + contact-block); anything else falls back to the LU engines.
 """
 
 from __future__ import annotations

@@ -33,36 +33,59 @@ def test_ant_points_match_reference():
     assert np.max(np.abs(w - GOLD["ant_w_16"])) < 1e-14
 
 
+def _lu_cfg(**kw):
+    """The strict golden tolerances below encode the LU route's x64-CPU
+    behavior (~1e-10); the default 'auto' solver routes these grids
+    through the spectral f32 assembly whose contract is 2e-6, so each
+    golden test pins solver='lu' for the tight assert and re-checks the
+    default route at its own contract."""
+    from gaunegf_tpu.config import ExecutionConfig
+    return ExecutionConfig(solver="lu", **kw)
+
+
 def test_density_complex_n():
     H, S, g = _system()
-    P = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0)
+    P = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0,
+                               exec_cfg=_lu_cfg())
     assert np.max(np.abs(P - GOLD["dens_complexN"])) < 1e-9
+    P_auto = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0)
+    assert np.max(np.abs(P_auto - GOLD["dens_complexN"])) < 2e-6
 
 
 def test_density_real_n():
     H, S, g = _system()
-    P = dens.density_real_n(H, S, g, -6.0, 0.5, 128, T=0)
+    P = dens.density_real_n(H, S, g, -6.0, 0.5, 128, T=0,
+                            exec_cfg=_lu_cfg())
     assert np.max(np.abs(P - GOLD["dens_realN"])) < 1e-9
+    P_auto = dens.density_real_n(H, S, g, -6.0, 0.5, 128, T=0)
+    assert np.max(np.abs(P_auto - GOLD["dens_realN"])) < 2e-6
 
 
 def test_density_grid_n():
     H, S, g = _system()
     # default config uses the low-rank contact path, which drops the
     # -1j*1e-9*S broadening background from Gamma (~1e-7 contribution)
-    P = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0)
+    P = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0,
+                            exec_cfg=_lu_cfg())
     assert np.max(np.abs(P - GOLD["dens_gridN"])) < 5e-7
 
-    from gaunegf_tpu.config import ExecutionConfig
     P_dense = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0,
-                                  exec_cfg=ExecutionConfig(use_lowrank=False))
+                                  exec_cfg=_lu_cfg(use_lowrank=False))
     assert np.max(np.abs(P_dense - GOLD["dens_gridN"])) < 1e-9
+    # default route (spectral gless): the G Gamma G^H sandwich contract
+    P_auto = dens.density_grid_n(H, S, g, -0.4, 0.4, ind=1, N=64, T=0)
+    assert np.max(np.abs(P_auto - GOLD["dens_gridN"])) < 1e-5
 
 
 def test_density_sharded_equals_serial():
     H, S, g = _system()
     mesh = energy_mesh()
-    P1 = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0)
-    P2 = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0, mesh=mesh)
+    # LU: bit-identical up to psum order (x64).  The spectral route's
+    # sharded==serial story (f32 psum noise) is covered in test_spectral.
+    P1 = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0,
+                                exec_cfg=_lu_cfg())
+    P2 = dens.density_complex_n(H, S, g, -4.0, 0.5, 64, T=0, mesh=mesh,
+                                exec_cfg=_lu_cfg())
     assert np.max(np.abs(P1 - P2)) < 1e-12
 
 
@@ -142,7 +165,9 @@ def test_density_eq_n_fuses_real_and_contour():
     S = np.eye(n)
     g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(n - 4, n)],
                            sig1=-0.1j)
-    cfg = ExecutionConfig(energy_chunk=8)
+    cfg = ExecutionConfig(energy_chunk=8, solver="lu")   # the fused
+    # weight-concatenation dispatch is an LU-engine feature; the spectral
+    # route serves eq grids as two cheap dispatches instead
     Pr = dens.density_real_n(H, S, g, -30.0, -6.0, 16, T=0, exec_cfg=cfg)
     Pc = dens.density_complex_n(H, S, g, -6.0, 0.0, 32, T=0, exec_cfg=cfg)
     Pf = dens.density_eq_n(H, S, g, -30.0, -6.0, 0.0, N1=32, N2=16, T=0,
@@ -153,10 +178,11 @@ def test_density_eq_n_fuses_real_and_contour():
 def test_density_neq_fused_matches_unfused():
     """density_neq_n (one dispatch) == density_eq_n + density_grid_n."""
     H, S, g = _system()
-    kw = dict(N1=24, N2=12, T=300.0)
+    kw = dict(N1=24, N2=12, T=300.0, exec_cfg=_lu_cfg())
     mu1, mu2 = 0.3, 0.6
     P_ref = dens.density_eq_n(H, S, g, -6.0, -4.0, mu1, **kw) \
-        + dens.density_grid_n(H, S, g, mu1, mu2, ind=-1, N=16, T=300.0)
+        + dens.density_grid_n(H, S, g, mu1, mu2, ind=-1, N=16, T=300.0,
+                              exec_cfg=_lu_cfg())
     P_fused = dens.density_neq_n(H, S, g, -6.0, -4.0, mu1, mu2,
                                  Nnegf=16, **kw)
     np.testing.assert_allclose(P_fused, P_ref, rtol=0, atol=1e-12)
@@ -220,7 +246,8 @@ def test_density_eq_split_continuation_sharded(rng):
     g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(N - 4, N)],
                            sig1=-0.1j)
     kw = dict(Eminf=-40.0, Emin=-4.0, mu=0.3, N1=64, N2=24)
-    cfg = ExecutionConfig(energy_chunk=4, continuation="contour")
+    cfg = ExecutionConfig(energy_chunk=4, continuation="contour",
+                          solver="lu")
     P0 = dens.density_eq_n(H, S, g, exec_cfg=cfg, **kw)
     P1 = dens.density_eq_n(H, S, g, exec_cfg=cfg, mesh=energy_mesh(), **kw)
     np.testing.assert_allclose(P1, P0, rtol=0, atol=1e-8)

@@ -124,7 +124,8 @@ def test_continuation_engine_matches_standard():
                            sig1=-0.05j)
     E = np.linspace(-2.5, 2.5, 75) + 1e-3j
     w = rng.random(75)
-    std = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=8)).gr_sum(E, w)
+    std = EnergyEngine(H, S, g, ExecutionConfig(
+        energy_chunk=8, solver="lu")).gr_sum(E, w)
     chn = EnergyEngine(
         H, S, g, ExecutionConfig(energy_chunk=8, continuation=True),
     ).gr_sum(E, w)
@@ -133,8 +134,8 @@ def test_continuation_engine_matches_standard():
     # coarse grid: every step falls back to LU (dE * ||S G|| >> gate)
     E2 = np.linspace(-3, 3, 9) + 1e-3j
     w2 = rng.random(9)
-    std2 = EnergyEngine(H, S, g, ExecutionConfig(energy_chunk=4)).gr_sum(
-        E2, w2)
+    std2 = EnergyEngine(H, S, g, ExecutionConfig(
+        energy_chunk=4, solver="lu")).gr_sum(E2, w2)
     chn2 = EnergyEngine(
         H, S, g, ExecutionConfig(energy_chunk=4, continuation=True),
     ).gr_sum(E2, w2)

@@ -408,9 +408,81 @@ def test_device_basis_refinement_quality():
     assert np.abs(A @ C - C * lam64[None, :]).max() < 5e-7
 
 
-def test_solver_default_is_lu():
+def test_solver_default_auto_engages_spectral():
+    """solver='auto' (the default since round 4) engages the spectral
+    route for qualifying providers and 'lu' forces the LU engines."""
     H, S, inds = _system(32)
     g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
     eng = EnergyEngine(H, S, g, ExecutionConfig(precision="mixed",
                                                 energy_chunk=4))
-    assert eng._spectral_runner() is None
+    assert eng.exec_cfg.solver == "auto"
+    assert eng._spectral_runner() is not None
+    eng_lu = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="lu"))
+    assert eng_lu._spectral_runner() is None
+    # high/exact tiers keep the LU engines under 'auto'
+    eng_hi = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="high", energy_chunk=4))
+    assert eng_hi._spectral_runner() is None
+
+
+def test_defl_union_ritz_refinement():
+    """The deflation's near-union Rayleigh-Ritz refinement (device basis):
+    cluster-mixed OA columns floor the deflated near-pole sum; the
+    refined basis must match the host-basis result at the host floor.
+
+    Evidence chain: e51 (device: host 4.05e-7 vs raw device 4.45e-5,
+    f64-lambda splice changes nothing), e52 (CPU: union rotation recovers
+    4.09e-7), e53 (device: integrated path 4.34e-7)."""
+    H, S, inds = _system(N=128, seed=3)
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    lam = np.linalg.eigvalsh(H)
+    # grid pinned at/near bare eigenvalues (forces the deflated segment)
+    E = np.array([lam[40] + 3e-7, lam[64], lam[90] - 1e-6])
+    w = np.ones(E.size)
+    truth = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(E, w)
+
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_basis="device"))
+    r = eng._spectral_runner()
+    assert r is not None and r._basis_is_device
+    assert r._mode(E) == "defl"
+    out = r.gr_sum(eng.provider, eng._params_split, E, w)
+    assert _relerr(out, truth) < 5e-6
+    # the refinement ran and is cached per padded union
+    assert len(r._ritz_cache) == 1
+    out2 = r.gr_sum(eng.provider, eng._params_split, E, w)
+    assert len(r._ritz_cache) == 1
+    assert _relerr(out2, truth) < 5e-6
+    # host basis is the reference: no refinement state is created there
+    eng_h = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_basis="host"))
+    r_h = eng_h._spectral_runner()
+    out_h = r_h.gr_sum(eng_h.provider, eng_h._params_split, E, w)
+    assert len(r_h._ritz_cache) == 0
+    assert _relerr(out_h, truth) < 5e-6
+
+
+def test_defl_union_ritz_sharded():
+    """The refinement's mesh branch (replicated device_put of the refined
+    tree + dw H/S): sharded deflated sums match serial at ~eps32."""
+    H, S, inds = _system(N=64, seed=7)
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    lam = np.linalg.eigvalsh(H)
+    E = np.concatenate([[lam[20] + 1e-6, lam[40]],
+                        np.linspace(-1.2, 1.2, 6)])
+    w = np.ones(E.size)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=2,
+                          solver="spectral", spectral_basis="device")
+    ser = EnergyEngine(H, S, g, cfg)
+    r_ser = ser._spectral_runner()
+    assert r_ser is not None and r_ser._mode(E) == "defl"
+    out_ser = r_ser.gr_sum(ser.provider, ser._params_split, E, w)
+    shard = EnergyEngine(H, S, g, cfg, mesh=energy_mesh(4))
+    r_sh = shard._spectral_runner()
+    out_sh = r_sh.gr_sum(shard.provider, shard._params_split, E, w)
+    assert len(r_sh._ritz_cache) == 1
+    assert _relerr(out_sh, out_ser) < 1e-5
