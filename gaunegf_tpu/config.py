@@ -191,13 +191,27 @@ class ExecutionConfig:
     # ~dist_f32/2, i.e. N ~ 100k on a 4 eV band).  0 restores the
     # round-4-session-3 dw-segment + LU-fallback ladder.
     spectral_deflate: int = 8
-    # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK,
-    # the accuracy reference) or 'device' (f32 XLA eigh + Ogita-Aishima
-    # double-word refinement, all-MXU -- for hosts whose serial eigh would
-    # bottleneck the SCF cycle at N >~ 1500)
-    # 'auto' = 'device' on accelerator backends, 'host' on CPU (e33: the
-    # per-Fock host eigh serializes an SCF cycle at production N)
+    # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK
+    # divide-and-conquer drivers, the accuracy reference; 1-3 s at
+    # N=2000) or 'device' (f32 XLA eigh + Ogita-Aishima double-word
+    # refinement, all-MXU).  'auto' = 'host': the TPU QDWH eigh's
+    # backward error is bf16-grade (e57: resid 4.9e-3 -- its internal
+    # matmuls ignore the precision config) and the OA refinement cannot
+    # recover pairs whose seed mixing exceeds their gap, so the device
+    # basis breaks the mixed contract on dense spectra (end-to-end
+    # 3.7e-4 at N=2000 vs host's 5.6e-7; fine at N<~1000: e53 4.3e-7).
+    # 'device' stays opt-in for coarse spectra / eigh-bottlenecked hosts.
     spectral_basis: str = "auto"
+    # warm-start the device basis across Focks: seed the Ogita-Aishima
+    # refinement with the previous accepted eigenvectors of the same
+    # (N, S) system, skipping the f32 eigh.  Gated on the refined
+    # all-pair residual coupling (ops/spectral._WARM_S_TOL); a rejected
+    # seed falls back to the cold eigh, so accuracy never depends on the
+    # SCF step size.  Off by default: dense spectra (band-edge clusters
+    # tighter than any SCF step) reject the seed every cycle by design,
+    # and the cold eigh is cheap on a healthy link (e56: 0.6 s at
+    # N=2000), so the gate only pays off for well-separated spectra.
+    spectral_warm_basis: bool = False
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

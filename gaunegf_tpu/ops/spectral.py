@@ -279,7 +279,7 @@ def _dw_recip_real(w_dw):
 
 @lru_cache(maxsize=None)
 def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
-                           cluster_tol: float):
+                           cluster_tol: float, seeded: bool = False):
     """Jitted device basis: (H_dw, [Sm12_dw]) -> (lam_dw, C_dw).
 
     f32 eigh seed (XLA QDWH on TPU, LAPACK on CPU) + Ogita-Aishima
@@ -299,7 +299,7 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
     eigh (the host f64 basis remains the default and the high-accuracy
     option)."""
 
-    def oa_step(A_dw, X_dw):
+    def oa_step(A_dw, X_dw, refine_close=False):
         Xt = (X_dw[0].T, X_dw[1].T)
         AX = _mm_dw_real(A_dw, X_dw)
         S = _mm_dw_real(Xt, AX)
@@ -321,39 +321,157 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
         S32 = S[0] + S[1]
         R32 = Rh + Rl
         lam32 = lam[0] + lam[1]
-        dl = lam32[None, :] - lam32[:, None]
         scale = jnp.max(jnp.abs(lam32))
-        sep = jnp.abs(dl) > cluster_tol * scale
-        E = jnp.where(sep, (S32 + lam32[None, :] * R32)
-                      / jnp.where(sep, dl, 1.0), R32 / 2.0)
+        if refine_close:
+            # warm seeds carry within-cluster mixing from the Fock step
+            # that the cold path never has (the f32 eigh resolves pairs
+            # to eps32 ABSOLUTE, so sub-cluster_tol pairs are already
+            # paired); refine pairing wherever the gap is representable.
+            # dl from the dw halves: the hi difference of close values is
+            # EXACT (Sterbenz), so dl is ~1e-14*scale accurate where the
+            # collapsed-f32 difference would be pure cancellation noise.
+            dl = ((lam[0][None, :] - lam[0][:, None])
+                  + (lam[1][None, :] - lam[1][:, None]))
+            sep = jnp.abs(dl) > _WARM_DEG_REL * scale
+            # clamp the Jacobi-like update: a pair mixed harder than its
+            # gap supports (|E| ~ s/dl > 0.5) must iterate, not explode
+            E_rot = jnp.clip((S32 + lam32[None, :] * R32)
+                             / jnp.where(sep, dl, 1.0), -0.5, 0.5)
+        else:
+            dl = lam32[None, :] - lam32[:, None]
+            sep = jnp.abs(dl) > cluster_tol * scale
+            E_rot = (S32 + lam32[None, :] * R32) / jnp.where(sep, dl, 1.0)
+        E = jnp.where(sep, E_rot, R32 / 2.0)
         E = jnp.where(eye > 0, jnp.diag(jnp.diagonal(R32) / 2.0), E)
         XE = jnp.matmul(X_dw[0], E, precision=_HIGHEST)
         xh, xe = zl.two_sum(X_dw[0], XE)
         return lam, (xh, X_dw[1] + xe)
 
-    @jax.jit
-    def f(H_dw, Sm12_dw=None):
-        A_dw = H_dw
-        if has_overlap:
-            A_dw = _mm_dw_real(Sm12_dw, _mm_dw_real(H_dw, Sm12_dw))
-        lam32, X32 = jnp.linalg.eigh(A_dw[0])
-        lam = (lam32, jnp.zeros_like(lam32))
-        X_dw = (X32, jnp.zeros_like(X32))
-        for _ in range(oa_steps):
-            lam, X_dw = oa_step(A_dw, X_dw)
-        C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
-        return lam, C_dw
+    def _gauge(A_dw, X_dw, lam):
+        """Warm-seed acceptance bounds from the refined residual couplings.
+
+        s_ij = |X^T A X|_offdiag (ALL pairs, no cluster exclusion): per
+        2x2 perturbation theory the eigenvalue error is min(s^2/|dl|, s)
+        (the quadratic form saturates at s when s >~ dl), and s itself is
+        the pair's A-invariance residual -- the quantity that drives the
+        resolvent assembly's error.  The COLD basis (backward-stable f32
+        eigh) ships s ~ eps32*scale on its tightest pairs and is
+        device-validated at ~4e-7 end-to-end (e53), so a warm basis with
+        s under that level is at-least-cold quality everywhere.
+        Returns (err_lam, err_s), both relative to scale."""
+        AX = _mm_dw_real(A_dw, X_dw)
+        S = _mm_dw_real((X_dw[0].T, X_dw[1].T), AX)
+        n = X_dw[0].shape[0]
+        eye = jnp.eye(n, dtype=X_dw[0].dtype)
+        s = jnp.abs(S[0] + S[1]) * (1.0 - eye)
+        lam32 = lam[0] + lam[1]
+        scale = jnp.maximum(jnp.max(jnp.abs(lam32)), 1e-30)
+        adl = jnp.abs((lam[0][None, :] - lam[0][:, None])
+                      + (lam[1][None, :] - lam[1][:, None]))
+        err_lam = jnp.max(jnp.minimum(
+            s * s / jnp.maximum(adl, 1e-30), s)) / scale
+        err_s = jnp.max(s) / scale
+        return err_lam, err_s
+
+    if seeded:
+        @jax.jit
+        def f(H_dw, X_seed, Sm12_dw=None):
+            A_dw = H_dw
+            if has_overlap:
+                A_dw = _mm_dw_real(Sm12_dw, _mm_dw_real(H_dw, Sm12_dw))
+            # oa_steps + 2: the seed's mixing can be O(1) on the tightest
+            # pairs when the Fock step rivals a gap; quadratic convergence
+            # needs the extra budget, and a step costs ~4 dw matmuls vs
+            # the f32 eigh this path replaces
+            lam, X_dw = oa_step(A_dw, X_seed, refine_close=True)
+            for _ in range(oa_steps + 1):
+                lam, X_dw = oa_step(A_dw, X_dw, refine_close=True)
+            err_lam, err_s = _gauge(A_dw, X_dw, lam)
+            C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
+            return lam, X_dw, C_dw, err_lam, err_s
+    else:
+        @jax.jit
+        def f(H_dw, Sm12_dw=None):
+            A_dw = H_dw
+            if has_overlap:
+                A_dw = _mm_dw_real(Sm12_dw, _mm_dw_real(H_dw, Sm12_dw))
+            # CAVEAT (e56/e57): the TPU eigh (QDWH) runs its internal
+            # matmuls at one-pass bf16 and IGNORES
+            # jax.default_matmul_precision (measured identical: lam err
+            # 3e-4, resid 4.9e-3 at N=2000 under DEFAULT and HIGHEST).
+            # The OA refinement recovers separated pairs but not pairs
+            # whose seed mixing exceeds their gap, so this basis is only
+            # trustworthy where the spectrum's spacing is >> 5e-3*scale
+            # (e53: N=1000 chain end-to-end 4.3e-7; e57: N=2000 3.7e-4).
+            # That is why spectral_basis='auto' resolves to 'host'.
+            lam32, X32 = jnp.linalg.eigh(A_dw[0])
+            lam = (lam32, jnp.zeros_like(lam32))
+            X_dw = (X32, jnp.zeros_like(X32))
+            for _ in range(oa_steps):
+                lam, X_dw = oa_step(A_dw, X_dw)
+            C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
+            return lam, X_dw, C_dw
 
     return f
 
 
-def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3):
+@lru_cache(maxsize=None)
+def _build_perm_fn():
+    """Jitted column permutation of the basis triple (warm seeds refine in
+    the PREVIOUS Fock's eigen-order; downstream bookkeeping -- `_defl_basis`'s
+    rank-wise Ritz pairing -- assumes lam ascending)."""
+    @jax.jit
+    def f(lam_dw, X_dw, C_dw, perm):
+        t = lambda v: jnp.take(v, perm, axis=-1)
+        return (jax.tree_util.tree_map(t, lam_dw),
+                jax.tree_util.tree_map(t, X_dw),
+                jax.tree_util.tree_map(t, C_dw))
+    return f
+
+
+# warm-seed thresholds (see _build_device_basis_fn._gauge): the f32
+# far-tier assembly needs eigenvalue errors <~ 1e-10*scale (error ~
+# lam_err/dist at the dist_f32 floor); the residual coupling gate 3e-7
+# ~ 2.5x eps32 is the level a backward-stable f32 eigh (the cold path)
+# itself delivers on close pairs.  Pairs with gaps under
+# _WARM_DEG_REL*scale are orthonormalize-only (their refined coupling is
+# still bounded by the gauge, not excluded from it).
+_WARM_LAM_TOL = 1e-10
+_WARM_S_TOL = 3e-7
+_WARM_DEG_REL = 1e-8
+# (N, digest(S), oa_steps, cluster_tol) -> FIFO list of (H_hi f32 host
+# snapshot, X_dw device pair).  Two slots per key: spin-unrestricted SCF
+# builds TWO Focks per cycle against the same (N, S), and seeding one
+# spin's refinement from the other spin's basis would either waste OA
+# steps or bounce off the gauge every half-cycle.  Selection is
+# nearest-H (Frobenius on the f32 hi parts, ~ms at N=2000); FIFO
+# eviction keeps each spin's own predecessor resident.
+_WARM_X_CACHE: dict = {}
+_WARM_SLOTS = 2
+
+
+def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3,
+                 warm: bool = False, dev_put=None):
     """Device-side spectral basis: (lam64 host, basis-tree device arrays).
 
     Returns None when the pencil disqualifies (complex/asymmetric H,
     non-SPD S).  The eigh + refinement run in ONE jit dispatch; only the
     eigenvalues come back to the host (needed for the pole-distance
-    partition) -- the O(N^2) eigenvector pair stays device-resident."""
+    partition) -- the O(N^2) eigenvector pair stays device-resident.
+
+    ``warm=True`` seeds the Ogita-Aishima refinement with the previous
+    accepted basis for the same (N, S) system (module cache): SCF cycles
+    move the Fock slowly, so the seed usually needs only the refinement
+    steps -- the f32 eigh (the dominant per-cycle cost at N >~ 2000)
+    drops out.  Acceptance is gated on the refined separated-pair
+    residual (`_sep_resid`); a rejected seed falls back to the cold path,
+    so a large Fock step costs the refinement, never accuracy.
+
+    ``dev_put`` (e.g. EnergyEngine._put_cached) uploads the H/S^{-1/2}
+    double-word splits through a content-keyed device cache, so the
+    unchanged overlap uploads once per process and the runner's later
+    deflation-side ``_H_dw`` put is a cache hit instead of a second
+    N^2 transfer."""
     H = np.asarray(H)
     if np.iscomplexobj(H):
         if np.abs(H.imag).max() > 0.0:
@@ -364,17 +482,60 @@ def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3):
         return None
     S = np.asarray(S, dtype=np.float64)
     has_overlap = not np.allclose(S, np.eye(S.shape[0]), atol=1e-14)
-    fn = _build_device_basis_fn(has_overlap, oa_steps, cluster_tol)
     H_dw = _dw_split_real(H)
+    if dev_put is not None:
+        H_dw = dev_put(H_dw)
+    Sm12_dw = None
     if has_overlap:
         Sm12 = _s_m12_host(S)
         if Sm12 is None:
             return None
-        lam_dw, C_dw = fn(H_dw, _dw_split_real(Sm12))
-    else:
-        lam_dw, C_dw = fn(H_dw)
+        Sm12_dw = _dw_split_real(Sm12)
+        if dev_put is not None:
+            Sm12_dw = dev_put(Sm12_dw)
+
+    warm_key = None
+    H_hi = None
+    lam_dw = X_dw = C_dw = None
+    device_basis.last_path = "cold"
+    if warm:
+        warm_key = (H.shape[0], _digest(S), oa_steps, cluster_tol)
+        H_hi = H.astype(np.float32)
+        slots = _WARM_X_CACHE.get(warm_key, ())
+        seed = None
+        if slots:
+            dists = [float(np.linalg.norm(H_hi - h)) for h, _ in slots]
+            seed = slots[int(np.argmin(dists))][1]
+        if seed is not None and seed[0].shape == H.shape:
+            sfn = _build_device_basis_fn(has_overlap, max(oa_steps, 1),
+                                         cluster_tol, seeded=True)
+            args = (H_dw, seed) + ((Sm12_dw,) if has_overlap else ())
+            lam_s, X_s, C_s, err_lam, err_s = sfn(*args)
+            if (float(np.asarray(err_lam)) <= _WARM_LAM_TOL
+                    and float(np.asarray(err_s)) <= _WARM_S_TOL):
+                lam_dw, X_dw, C_dw = lam_s, X_s, C_s
+                device_basis.last_path = "warm"
+            else:
+                device_basis.last_path = "rejected"
+    if lam_dw is None:
+        fn = _build_device_basis_fn(has_overlap, oa_steps, cluster_tol)
+        args = (H_dw,) + ((Sm12_dw,) if has_overlap else ())
+        lam_dw, X_dw, C_dw = fn(*args)
+
     lam64 = (np.asarray(lam_dw[0], dtype=np.float64)
              + np.asarray(lam_dw[1], dtype=np.float64))
+    perm = np.argsort(lam64, kind="stable")
+    if not np.array_equal(perm, np.arange(perm.size)):
+        lam_dw, X_dw, C_dw = _build_perm_fn()(
+            lam_dw, X_dw, C_dw, jnp.asarray(perm.astype(np.int32)))
+        lam64 = lam64[perm]
+    if warm_key is not None:
+        if len(_WARM_X_CACHE) >= 2 and warm_key not in _WARM_X_CACHE:
+            _WARM_X_CACHE.pop(next(iter(_WARM_X_CACHE)))
+        slots = _WARM_X_CACHE.setdefault(warm_key, [])
+        slots.append((H_hi, X_dw))
+        if len(slots) > _WARM_SLOTS:
+            slots.pop(0)
     return lam64, lam_dw, C_dw
 
 
@@ -1112,18 +1273,26 @@ class SpectralRunner:
             self.exec_cfg = exec_cfg
         basis_mode = exec_cfg.spectral_basis
         if basis_mode == "auto":
-            # host LAPACK eigh serializes on one core (~3-4 s per Fock at
-            # N=1000 on this host: e33 measured the spectral SCF cycle at
-            # 6.1 s vs LU's 2.7 s, all of it setup); the device basis
-            # (f32 XLA eigh + Ogita-Aishima dw refinement, one dispatch)
-            # removes that from the cycle.  CPU keeps the f64 host path
-            # (it IS the accuracy reference there).
-            basis_mode = ("device" if jax.default_backend() != "cpu"
-                          else "host")
+            # 'auto' resolves to the HOST f64 eigh everywhere.  The
+            # device basis (f32 XLA eigh + Ogita-Aishima dw refinement)
+            # was the auto choice on accelerators for one session, but
+            # e57 measured the TPU QDWH eigh's backward error at bf16
+            # grade (resid 4.9e-3, lam err 3e-4 at N=2000; its internal
+            # matmuls ignore jax.default_matmul_precision), and the OA
+            # refinement cannot recover pairs whose seed mixing exceeds
+            # their gap: end-to-end gr_sum error 3.7e-4 at N=2000 vs the
+            # host basis's 5.6e-7.  With the divide-and-conquer host
+            # drivers (evd/gvd) the per-Fock eigh is 1-3 s at N=2000 --
+            # acceptable until a robust device seed lands.  'device'
+            # stays opt-in (accurate at N<~1000 spectra: e53 4.3e-7).
+            basis_mode = "host"
         self._basis_is_device = basis_mode == "device"
         self._ritz_cache: dict = {}
         if basis_mode == "device":
-            out = device_basis(H, S)
+            out = device_basis(
+                H, S,
+                warm=bool(getattr(exec_cfg, "spectral_warm_basis", False)),
+                dev_put=put_fn)
             if out is None:
                 return
             lam64, lam_dw, C_dw = out
@@ -1147,7 +1316,13 @@ class SpectralRunner:
                 self._H_dw = _dw_split_real(H64)
                 self._S_dw = (_dw_split_real(S64) if self._has_overlap
                               else None)
-                if mesh is not None:
+                if put_fn is not None:
+                    # content-keyed device cache: the H split is the one
+                    # device_basis just uploaded (hit), S uploads once
+                    self._H_dw = put_fn(self._H_dw)
+                    if self._S_dw is not None:
+                        self._S_dw = put_fn(self._S_dw)
+                elif mesh is not None:
                     from jax.sharding import NamedSharding
                     repl = NamedSharding(mesh, P())
                     self._H_dw = jax.device_put(self._H_dw, repl)

@@ -47,7 +47,7 @@ def test_gr_sum_model_sharded_matches_serial(rng, m):
     H, S, g = _system(N, rng)
     E = np.linspace(-2, 2, 16) + 0.05j
     w = rng.standard_normal(16)
-    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4, solver="lu")
 
     serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w)
     mesh = energy_mesh(model_parallel=m)
@@ -62,7 +62,8 @@ def test_gr_sum_model_sharded_blocked_kernel(rng):
     H, S, g = _system(N, rng)
     E = np.linspace(-1, 1, 8) + 0.1j
     w = np.ones(8)
-    cfg = ExecutionConfig(precision="fast", energy_chunk=4, lu_block=16)
+    cfg = ExecutionConfig(precision="fast", energy_chunk=4, lu_block=16,
+                          solver="lu")
     serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w)
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).gr_sum(E, w)
@@ -74,7 +75,7 @@ def test_gr_sum_model_sharded_im_epilog(rng):
     H, S, g = _system(N, rng)
     E = np.linspace(-1, 1, 8) + 0.05j
     w = np.ones(8)
-    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4, solver="lu")
     serial = EnergyEngine(H, S, g, cfg, mesh=None).gr_sum(E, w, epilog="im")
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).gr_sum(
@@ -87,12 +88,13 @@ def test_model_shards_fallback_when_indivisible(rng):
     """N not divisible by m: the engine must fall back to replicated."""
     N = 33
     H, S, g = _system(N, rng)
-    eng = EnergyEngine(H, S, g, ExecutionConfig(),
+    eng = EnergyEngine(H, S, g, ExecutionConfig(solver="lu"),
                        mesh=energy_mesh(model_parallel=2))
     assert eng._model_shards() == 1
     E = np.linspace(-1, 1, 8) + 0.05j
     out = eng.gr_sum(E, np.ones(8))
-    serial = EnergyEngine(H, S, g, ExecutionConfig(), mesh=None).gr_sum(
+    serial = EnergyEngine(H, S, g, ExecutionConfig(solver="lu"),
+                          mesh=None).gr_sum(
         E, np.ones(8))
     np.testing.assert_allclose(out, serial, rtol=0, atol=1e-9)
 
@@ -152,7 +154,7 @@ def test_gless_sum_model_sharded_matches_serial(rng, lowrank):
     E = np.linspace(-0.5, 0.5, 8) + 0.05j
     w = rng.standard_normal(8)
     cfg = ExecutionConfig(precision="mixed", energy_chunk=4,
-                          use_lowrank=lowrank)
+                          use_lowrank=lowrank, solver="lu")
     serial = EnergyEngine(H, S, g, cfg, mesh=None).gless_sum(E, w, contact=0)
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).gless_sum(
@@ -169,7 +171,7 @@ def test_gless_sum_model_sharded_uneven_contact(rng):
                            sig1=-0.1j)
     E = np.linspace(-0.5, 0.5, 8) + 0.05j
     w = np.ones(8)
-    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4, solver="lu")
     serial = EnergyEngine(H, S, g, cfg, mesh=None).gless_sum(E, w, contact=0)
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=4)).gless_sum(
@@ -187,7 +189,7 @@ def test_transmission_model_sharded_matches_serial(rng, lowrank):
     H, S, g = _system(N, rng)
     E = np.linspace(-2, 2, 16)
     cfg = ExecutionConfig(precision="mixed", energy_chunk=4,
-                          use_lowrank=lowrank, warm_start=False)
+                          use_lowrank=lowrank, warm_start=False, solver="lu")
     serial = EnergyEngine(H, S, g, cfg, mesh=None).transmission(E)
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).transmission(E)
@@ -228,7 +230,7 @@ def test_density_neq_model_sharded_matches_serial(rng):
     wq = rng.standard_normal(8)
     En = np.linspace(-0.2, 0.2, 8) + 1e-3j
     wn = rng.standard_normal(8)
-    cfg = ExecutionConfig(precision="mixed", energy_chunk=4)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4, solver="lu")
     serial = EnergyEngine(H, S, g, cfg, mesh=None).density_neq_sum(
         Eq, wq, En, wn, contact=0)
     sharded = EnergyEngine(H, S, g, cfg,
@@ -244,9 +246,10 @@ def test_gr_sum_distributed_lu_matches_serial(rng):
     E = np.linspace(-2, 2, 8) + 0.05j
     w = np.ones(8)
     cfg = ExecutionConfig(precision="mixed", energy_chunk=4, lu_block=16,
-                          distribute_lu=True)
+                          distribute_lu=True, solver="lu")
     serial = EnergyEngine(H, S, g, ExecutionConfig(
-        precision="mixed", energy_chunk=4, lu_block=16), mesh=None).gr_sum(E, w)
+        precision="mixed", energy_chunk=4, lu_block=16,
+        solver="lu"), mesh=None).gr_sum(E, w)
     sharded = EnergyEngine(H, S, g, cfg,
                            mesh=energy_mesh(model_parallel=2)).gr_sum(E, w)
     np.testing.assert_allclose(sharded, serial, rtol=0, atol=1e-9)

@@ -486,3 +486,106 @@ def test_defl_union_ritz_sharded():
     out_sh = r_sh.gr_sum(shard.provider, shard._params_split, E, w)
     assert len(r_sh._ritz_cache) == 1
     assert _relerr(out_sh, out_ser) < 1e-5
+
+
+def test_device_basis_warm_seed_accept_and_reject():
+    """Warm-seeded device basis: a small Fock step refines from the
+    previous cycle's eigenvectors (no f32 eigh) at cold-basis quality;
+    an unrelated Fock is rejected by the separated-pair residual gauge
+    and falls back to the cold path -- accuracy never depends on the
+    SCF step size."""
+    from gaunegf_tpu.ops import spectral as sp
+    rng = np.random.default_rng(11)
+    N = 96
+    Q, _ = np.linalg.qr(rng.standard_normal((N, N)))
+    lam_true = np.sort(rng.uniform(-2, 2, N))
+    A = (Q * lam_true[None, :]) @ Q.T
+    A = 0.5 * (A + A.T)
+    sp._WARM_X_CACHE.clear()
+    lam0, _, _ = sp.device_basis(A, np.eye(N), warm=True)
+    assert sp.device_basis.last_path == "cold"
+    assert len(sp._WARM_X_CACHE) == 1
+    # SCF-like step: ~1e-4 symmetric perturbation
+    dF = 1e-4 * rng.standard_normal((N, N))
+    A1 = A + 0.5 * (dF + dF.T)
+    lam1, lam_dw1, C_dw1 = sp.device_basis(A1, np.eye(N), warm=True)
+    assert sp.device_basis.last_path == "warm"
+    assert np.all(np.diff(lam1) >= 0)          # sorted despite seed order
+    truth1 = np.linalg.eigvalsh(A1)
+    assert np.abs(lam1 - truth1).max() < 5e-9
+    C1 = (np.asarray(C_dw1[0], np.float64)
+          + np.asarray(C_dw1[1], np.float64))
+    assert np.abs(C1.T @ C1 - np.eye(N)).max() < 1e-8
+    assert np.abs(A1 @ C1 - C1 * lam1[None, :]).max() < 5e-7
+    # unrelated Fock: the gauge must reject the stale seed
+    B = rng.standard_normal((N, N))
+    A2 = 0.5 * (B + B.T)
+    lam2, _, _ = sp.device_basis(A2, np.eye(N), warm=True)
+    assert sp.device_basis.last_path == "rejected"
+    assert np.abs(lam2 - np.linalg.eigvalsh(A2)).max() < 5e-9
+    sp._WARM_X_CACHE.clear()
+
+
+def test_device_basis_warm_two_focks_per_key():
+    """Spin-unrestricted SCF pattern: two Fock families alternate against
+    the same (N, S) key.  The two-slot nearest-H cache must hand each
+    spin its OWN predecessor (both warm-accepted from round 2 on) instead
+    of ping-ponging between the spins' bases."""
+    from gaunegf_tpu.ops import spectral as sp
+    rng = np.random.default_rng(17)
+    N = 64
+    base = rng.standard_normal((N, N))
+    base = 0.5 * (base + base.T)
+    # well-separated spin channels: +/-0.5 diagonal polarization
+    H_up = base + 0.5 * np.diag(np.linspace(0, 1, N))
+    H_dn = base - 0.5 * np.diag(np.linspace(0, 1, N))
+    sp._WARM_X_CACHE.clear()
+    paths = []
+    for cyc in range(3):
+        for H in (H_up, H_dn):
+            Hc = H + 1e-4 * cyc * np.diag(np.linspace(-1, 1, N))
+            lam, _, _ = sp.device_basis(Hc, np.eye(N), warm=True)
+            paths.append(sp.device_basis.last_path)
+            assert np.abs(lam - np.linalg.eigvalsh(Hc)).max() < 5e-9
+    assert paths[0] == "cold"
+    assert paths[2:] == ["warm"] * 4, paths
+    assert len(sp._WARM_X_CACHE) == 1
+    assert len(next(iter(sp._WARM_X_CACHE.values()))) == 2
+    sp._WARM_X_CACHE.clear()
+
+
+def test_device_basis_warm_overlap_engine_accuracy():
+    """End-to-end: two engines on slightly different Focks (the SCF
+    rebuild pattern) with spectral_basis='device' -- the second engages
+    the warm basis and still matches the strict-LU truth."""
+    from gaunegf_tpu.ops import spectral as sp
+    H, S, inds = _system(overlap=True, seed=3)
+    g = ConstantSelfEnergy(H, S, inds, sig1=-0.1j)
+    zc, wc, zr, wr = _grids(12)
+    cfg = ExecutionConfig(precision="mixed", energy_chunk=4,
+                          solver="spectral", spectral_basis="device",
+                          spectral_warm_basis=True)
+    sp._WARM_X_CACHE.clear()
+    eng0 = EnergyEngine(H, S, g, cfg)
+    assert eng0._spectral_runner() is not None
+    eng0.gr_sum(zc, wc)
+    assert sp.device_basis.last_path == "cold"
+    rng = np.random.default_rng(4)
+    dF = 1e-4 * rng.standard_normal(H.shape)
+    H1 = H + 0.5 * (dF + dF.T)
+    g1 = ConstantSelfEnergy(H1, S, inds, sig1=-0.1j)
+    truth_c = EnergyEngine(H1, S, g1, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zc, wc)
+    truth_r = EnergyEngine(H1, S, g1, ExecutionConfig(
+        precision="strict", energy_chunk=4)).gr_sum(zr, wr)
+    eng1 = EnergyEngine(H1, S, g1, cfg)
+    assert _relerr(eng1.gr_sum(zc, wc), truth_c) < 5e-6
+    assert sp.device_basis.last_path == "warm"
+    assert _relerr(eng1.gr_sum(zr, wr), truth_r) < 1e-5
+    # opting out pins the cold path
+    eng2 = EnergyEngine(H1, S, g1, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_basis="device", spectral_warm_basis=False))
+    eng2.gr_sum(zc, wc)
+    assert sp.device_basis.last_path == "cold"
+    sp._WARM_X_CACHE.clear()

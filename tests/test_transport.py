@@ -7,8 +7,15 @@ import numpy as np
 import pytest
 
 from gaunegf_tpu import transport as tr
+from gaunegf_tpu.config import ExecutionConfig
 from gaunegf_tpu.models.chain1d import Chain1DSelfEnergy
 from gaunegf_tpu.parallel.mesh import energy_mesh
+
+# The stored goldens were generated from the reference's f64 path; the
+# 1e-9 asserts hold on the LU engines (pinned below).  The default route
+# ('auto' = spectral since round 4) is re-checked once at its own 2e-6
+# mixed contract in test_transmission_matches_reference.
+_LU = ExecutionConfig(solver="lu")
 
 GOLD = np.load(os.path.join(os.path.dirname(__file__), "golden",
                             "golden_v1.npz"))
@@ -22,15 +29,20 @@ def _static_system():
 
 def test_transmission_matches_reference():
     H, S, s1, s2 = _static_system()
-    T = tr.calculate_transmission(H, S, tr.SigmaSource(s1, s2), GOLD["trans_E"])
+    T = tr.calculate_transmission(H, S, tr.SigmaSource(s1, s2),
+                                  GOLD["trans_E"], exec_cfg=_LU)
     assert np.max(np.abs(T - GOLD["trans_T"])) < 1e-9
+    # default route (auto -> spectral) at its own contract
+    T_def = tr.calculate_transmission(H, S, tr.SigmaSource(s1, s2),
+                                      GOLD["trans_E"])
+    assert np.max(np.abs(T_def - GOLD["trans_T"])) < 2e-6
 
 
 def test_transmission_sharded():
     H, S, s1, s2 = _static_system()
     mesh = energy_mesh()
     T = tr.calculate_transmission(H, S, tr.SigmaSource(s1, s2),
-                                  GOLD["trans_E"], mesh=mesh)
+                                  GOLD["trans_E"], mesh=mesh, exec_cfg=_LU)
     assert np.max(np.abs(T - GOLD["trans_T"])) < 1e-9
 
 
@@ -156,7 +168,7 @@ def test_checkpoint_grid_mismatch(tmp_path):
     np.savez(ckpt, transmission=np.zeros(7), energy_list=np.linspace(0, 1, 7))
     E = GOLD["trans_E"]
     T = tr.calculate_transmission(H, S, tr.SigmaSource(s1, s2), E,
-                                  checkpoint_file=ckpt)
+                                  checkpoint_file=ckpt, exec_cfg=_LU)
     assert np.max(np.abs(T - GOLD["trans_T"])) < 1e-9
 
 
@@ -178,9 +190,9 @@ def test_dos_checkpoint_resume(tmp_path):
 
 def test_legacy_api():
     H, S, s1, s2 = _static_system()
-    T = tr.cohTrans(GOLD["trans_E"][:5], H, S, s1, s2)
+    T = tr.cohTrans(GOLD["trans_E"][:5], H, S, s1, s2, exec_cfg=_LU)
     assert np.max(np.abs(np.asarray(T) - GOLD["trans_T"][:5])) < 1e-9
-    d, site = tr.DOS(GOLD["trans_E"][:5], H, S, s1, s2)
+    d, site = tr.DOS(GOLD["trans_E"][:5], H, S, s1, s2, exec_cfg=_LU)
     assert np.max(np.abs(np.asarray(d) - GOLD["trans_dos_tot"][:5])) < 1e-9
     I = tr.current(H, S, s1, s2, 0.0, 0.5, T=0, spin="r", dE=0.01)
     assert abs(I - float(GOLD["trans_I"])) < 1e-10
