@@ -64,10 +64,13 @@ def _p_mu(g, Emin, N, tol, T, exec_cfg, mesh, method="ant"):
 
 
 def _ne_of(P, S, n_orbs=0):
-    PS = np.asarray(P) @ np.asarray(S)
+    # trace((P @ S)[block]) without the GEMM: O(N^2) or O(N * n_orbs)
+    P = np.asarray(P)
+    S = np.asarray(S)
     if n_orbs:
-        return float(np.trace(PS[-n_orbs:, -n_orbs:]).real)
-    return float(np.trace(PS).real)
+        return float(np.einsum("ij,ji->", P[-n_orbs:, :],
+                               S[:, -n_orbs:]).real)
+    return float(np.einsum("ij,ji->", P, S).real)
 
 
 class _Bracket:

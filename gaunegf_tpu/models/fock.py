@@ -128,29 +128,37 @@ class TightBindingFock:
 
     def fock(self, P):
         n = self.n_orb
+        # diag(A @ B) and trace(A @ B) via einsum: O(N^2), not a full GEMM
+        # (the backend Fock rebuild is on the SCF cycle's critical path --
+        # at N=2000 the naive np.diag(P @ S) pair cost ~2 s/cycle on this
+        # host, e59)
+        _diag_mm = lambda A, B: np.einsum("ij,ji->i", A, B)
+        _tr_mm = lambda A, B: complex(np.einsum("ij,ji->", A, B))
         if self.spin == "g":
             P = np.asarray(P)
-            occ = np.real(np.diag(P @ self.S))     # per spin-orbital
+            occ = np.real(_diag_mm(P, self.S))     # per spin-orbital
             occ_orb = occ[0::2] + occ[1::2]        # per orbital (both spins)
             F = self.initial_fock().astype(complex) + np.kron(
                 np.diag(self.U * (occ_orb - 2 * self.n0)), np.eye(2))
-            E = float(np.real(np.trace(P @ (self.initial_fock() + F))) / 2)
+            E = float(np.real(_tr_mm(P, self.initial_fock() + F)) / 2)
             return F, E
         if self.spin in ("u", "ro"):
             P = np.asarray(P)
-            occ_up = np.real(np.diag(P[:n, :n] @ self.S1))
-            occ_dn = np.real(np.diag(P[n:, n:] @ self.S1))
+            occ_up = np.real(_diag_mm(P[:n, :n], self.S1))
+            occ_dn = np.real(_diag_mm(P[n:, n:], self.S1))
             dx = self.exchange / 2 * np.eye(n)
             Fu = self.H0 - dx + np.diag(self.U * (occ_dn - self.n0))
             Fd = self.H0 + dx + np.diag(self.U * (occ_up - self.n0))
             Z = np.zeros_like(Fu)
             F = np.block([[Fu, Z], [Z, Fd]])
-            E = float(np.real(np.trace(P @ (self.initial_fock() + F))) / 2)
+            E = float(np.real(_tr_mm(P, self.initial_fock() + F)) / 2)
             return F, E
-        occ = np.real(np.diag(np.asarray(P) @ self.S1))
+        P = np.asarray(P)
+        occ = np.real(_diag_mm(P, self.S1))
         F = self.H0 + np.diag(self.U * (occ - self.n0))
         # mean-field total energy: Tr[P (H0 + F)] / 2 (double-count corrected)
-        E = float(np.real(np.trace(np.asarray(P) @ (self.H0 + F))) / 2)
+        E = float(np.real(np.einsum("ij,ji->", P, self.H0 + F)))
+        E = E / 2
         spin_factor = 2.0 if self.spin == "r" else 1.0
         return F, spin_factor * E
 
@@ -208,7 +216,7 @@ class MatrixFock:
         return vo @ vo.conj().T
 
     def fock(self, P):
-        E = float(np.real(np.trace(np.asarray(P) @ self.F0)))
+        E = float(np.real(np.einsum("ij,ji->", np.asarray(P), self.F0)))
         return self.F0.copy(), E
 
     def store_density(self, P):

@@ -139,7 +139,7 @@ class NEGFE(NEGF):
         P_lower = dens.density_real_n(self.F_eV, self.S, self.g, self.Eminf,
                                       self.Emin, self.N2, T=self.T,
                                       exec_cfg=self.exec_cfg, mesh=self.mesh)
-        n_lower = float(np.trace(self.S @ P_lower).real)
+        n_lower = float(np.einsum("ij,ji->", self.S, P_lower).real)
         if self.mu1 != self.mu2:
             self.Nnegf = dens.integral_fit_negf(
                 self.F_eV, self.S, self.g, self.fermi, self.qV, self.Eminf,
@@ -213,7 +213,7 @@ class NEGFE(NEGF):
             P = dens.density_real_n(self.F_eV, self.S, self.g, self.Eminf,
                                     self.Emin, self.N2, T=0,
                                     exec_cfg=self.exec_cfg, mesh=self.mesh)
-        n_lower = float(np.trace(self.S @ P).real)
+        n_lower = float(np.einsum("ij,ji->", self.S, P).real)
 
         def contour_P(mu):
             if self.N1 is not None:
