@@ -279,7 +279,8 @@ def _dw_recip_real(w_dw):
 
 @lru_cache(maxsize=None)
 def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
-                           cluster_tol: float, seeded: bool = False):
+                           cluster_tol: float, seeded: bool = False,
+                           robust: bool = False):
     """Jitted device basis: (H_dw, [Sm12_dw]) -> (lam_dw, C_dw).
 
     f32 eigh seed (XLA QDWH on TPU, LAPACK on CPU) + Ogita-Aishima
@@ -300,6 +301,10 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
     option)."""
 
     def oa_step(A_dw, X_dw, refine_close=False):
+        """One refinement step.  Returns (lam, X_new, err_lam, err_s):
+        the errs are the acceptance-gauge quantities of the INPUT X
+        (computed from the step's own S/R products, so a convergence
+        loop gets them for free -- see _gauge for their meaning)."""
         Xt = (X_dw[0].T, X_dw[1].T)
         AX = _mm_dw_real(A_dw, X_dw)
         S = _mm_dw_real(Xt, AX)
@@ -322,6 +327,14 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
         R32 = Rh + Rl
         lam32 = lam[0] + lam[1]
         scale = jnp.max(jnp.abs(lam32))
+        # gauge quantities of the input X (free: S/lam already in hand)
+        s_abs = jnp.abs(S32) * (1.0 - eye)
+        adl_g = jnp.abs((lam[0][None, :] - lam[0][:, None])
+                        + (lam[1][None, :] - lam[1][:, None]))
+        g_scale = jnp.maximum(scale, 1e-30)
+        err_lam = jnp.max(jnp.minimum(
+            s_abs * s_abs / jnp.maximum(adl_g, 1e-30), s_abs)) / g_scale
+        err_s = jnp.max(s_abs) / g_scale
         if refine_close:
             # warm seeds carry within-cluster mixing from the Fock step
             # that the cold path never has (the f32 eigh resolves pairs
@@ -345,7 +358,55 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
         E = jnp.where(eye > 0, jnp.diag(jnp.diagonal(R32) / 2.0), E)
         XE = jnp.matmul(X_dw[0], E, precision=_HIGHEST)
         xh, xe = zl.two_sum(X_dw[0], XE)
-        return lam, (xh, X_dw[1] + xe)
+        return lam, (xh, X_dw[1] + xe), err_lam, err_s
+
+    def refine_loop(A_dw, X_seed, max_steps):
+        """Clamped refinement to tolerance: iterate refine_close steps,
+        each followed by a Newton-Schulz polar re-orthonormalization,
+        until the input-X residual coupling passes _ROBUST_S_EXIT or the
+        budget runs out.  On dense spectra a bf16-grade seed saturates
+        the clamp on MANY pairs at once, so the raw update's norm is
+        unbounded and the plain iteration DIVERGES (e58b at N=2000:
+        NaN by step 10; the e58 N=1000 convergence was marginal).  The
+        NS step X <- X (3I - X^T X)/2 keeps the iterate on the Stiefel
+        manifold: the f64 prototype (e58c) then converges in 8 steps to
+        err_s ~1e-15 at N=2000 from the exact e57-measured 5e-3 seed
+        grade.  Warm SCF seeds exit in 2-4 steps.  The lam returned is
+        the Rayleigh quotient of the last input X; the returned X is
+        one step better (same convention as the fixed-count paths)."""
+        def cond(carry):
+            lam, X, err_lam, err_s, i = carry
+            return jnp.logical_and(i < max_steps,
+                                   err_s > _ROBUST_S_EXIT)
+
+        def ns_polar(X):
+            """X (3I - X^T X)/2 with the correction applied in dw: the
+            residual R = I - X^T X is computed double-word and the
+            f32-collapsed X @ (R/2) product added with TwoSum carry --
+            the same precision pattern as oa_step's E update."""
+            XtX = _mm_dw_real((X[0].T, X[1].T), X)
+            n = X[0].shape[0]
+            eye = jnp.eye(n, dtype=X[0].dtype)
+            Rh, re = zl.two_sum(eye, -XtX[0])
+            R32 = (Rh + (re - XtX[1])) * 0.5
+            XR = jnp.matmul(X[0], R32, precision=_HIGHEST)
+            xh, xe = zl.two_sum(X[0], XR)
+            return xh, X[1] + xe
+
+        def body(carry):
+            _, X, _, _, i = carry
+            lam, X_new, err_lam, err_s = oa_step(A_dw, X,
+                                                 refine_close=True)
+            X_new = ns_polar(X_new)
+            return lam, X_new, err_lam, err_s, i + 1
+
+        n = X_seed[0].shape[0]
+        dt = X_seed[0].dtype
+        init = ((jnp.zeros((n,), dt), jnp.zeros((n,), dt)), X_seed,
+                jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
+                jnp.asarray(0, jnp.int32))
+        lam, X_dw, _, _, n_steps = jax.lax.while_loop(cond, body, init)
+        return lam, X_dw, n_steps
 
     def _gauge(A_dw, X_dw, lam):
         """Warm-seed acceptance bounds from the refined residual couplings.
@@ -379,16 +440,35 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
             A_dw = H_dw
             if has_overlap:
                 A_dw = _mm_dw_real(Sm12_dw, _mm_dw_real(H_dw, Sm12_dw))
-            # oa_steps + 2: the seed's mixing can be O(1) on the tightest
-            # pairs when the Fock step rivals a gap; quadratic convergence
-            # needs the extra budget, and a step costs ~4 dw matmuls vs
-            # the f32 eigh this path replaces
-            lam, X_dw = oa_step(A_dw, X_seed, refine_close=True)
-            for _ in range(oa_steps + 1):
-                lam, X_dw = oa_step(A_dw, X_dw, refine_close=True)
+            # to-tolerance clamped loop: a warm SCF seed exits in 2-4
+            # steps; a seed mixed O(1) on its tightest pairs (a large
+            # Fock step) gets the full budget instead of bouncing off
+            # the gauge after a fixed count (the session-6 warm-seed
+            # rejections were exactly this)
+            lam, X_dw, n_steps = refine_loop(A_dw, X_seed,
+                                             _ROBUST_MAX_STEPS)
             err_lam, err_s = _gauge(A_dw, X_dw, lam)
             C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
-            return lam, X_dw, C_dw, err_lam, err_s
+            return lam, X_dw, C_dw, err_lam, err_s, n_steps
+    elif robust:
+        @jax.jit
+        def f(H_dw, Sm12_dw=None):
+            A_dw = H_dw
+            if has_overlap:
+                A_dw = _mm_dw_real(Sm12_dw, _mm_dw_real(H_dw, Sm12_dw))
+            # The TPU f32 eigh (QDWH) has bf16-grade backward error
+            # (e57: resid 4.9e-3, lam err 3e-4 at N=2000; its internal
+            # matmuls IGNORE jax.default_matmul_precision), so treat it
+            # as a SEED exactly like a stale warm basis: clamped
+            # refinement to tolerance + the acceptance gauge.  e58: the
+            # 5e-3-grade seed converges to err_s ~ 3e-7 in ~10 steps.
+            lam32, X32 = jnp.linalg.eigh(A_dw[0])
+            X_seed = (X32, jnp.zeros_like(X32))
+            lam, X_dw, n_steps = refine_loop(A_dw, X_seed,
+                                             _ROBUST_MAX_STEPS)
+            err_lam, err_s = _gauge(A_dw, X_dw, lam)
+            C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
+            return lam, X_dw, C_dw, err_lam, err_s, n_steps
     else:
         @jax.jit
         def f(H_dw, Sm12_dw=None):
@@ -399,16 +479,15 @@ def _build_device_basis_fn(has_overlap: bool, oa_steps: int,
             # matmuls at one-pass bf16 and IGNORES
             # jax.default_matmul_precision (measured identical: lam err
             # 3e-4, resid 4.9e-3 at N=2000 under DEFAULT and HIGHEST).
-            # The OA refinement recovers separated pairs but not pairs
-            # whose seed mixing exceeds their gap, so this basis is only
-            # trustworthy where the spectrum's spacing is >> 5e-3*scale
-            # (e53: N=1000 chain end-to-end 4.3e-7; e57: N=2000 3.7e-4).
-            # That is why spectral_basis='auto' resolves to 'host'.
+            # With FIXED UNclamped steps the refinement cannot recover
+            # pairs whose seed mixing exceeds their gap (e53: N=1000
+            # chain end-to-end 4.3e-7; e57: N=2000 3.7e-4) -- the
+            # robust=True variant above replaces this path.
             lam32, X32 = jnp.linalg.eigh(A_dw[0])
             lam = (lam32, jnp.zeros_like(lam32))
             X_dw = (X32, jnp.zeros_like(X32))
             for _ in range(oa_steps):
-                lam, X_dw = oa_step(A_dw, X_dw)
+                lam, X_dw, _, _ = oa_step(A_dw, X_dw)
             C_dw = _mm_dw_real(Sm12_dw, X_dw) if has_overlap else X_dw
             return lam, X_dw, C_dw
 
@@ -439,6 +518,20 @@ def _build_perm_fn():
 _WARM_LAM_TOL = 1e-10
 _WARM_S_TOL = 3e-7
 _WARM_DEG_REL = 1e-8
+# robust-refinement loop (refine_loop): exit when the input-X residual
+# coupling reaches _ROBUST_S_EXIT (the loop's floor is the dw product
+# noise, well below _WARM_S_TOL; the margin buys the acceptance gauge
+# headroom), bounded by _ROBUST_MAX_STEPS (e58: a bf16-grade 5e-3 seed
+# needs ~10 clamped steps; each step is ~4 dw matmuls)
+_ROBUST_S_EXIT = 1.0e-7
+_ROBUST_MAX_STEPS = 16
+# robust acceptance: err_s at the level a backward-stable f32 eigh
+# itself delivers (the e53-validated cold-basis grade).  err_lam is
+# NOT gated at _WARM_LAM_TOL here: the gauge's min(s^2/gap, s)
+# saturates at s on sub-s-gapped clusters, where the eigenvalue error
+# is harmless for the resolvent -- near points Ritz-refine the union
+# in f64 (_defl_basis), and separated pairs sit at s^2/gap <= 1e-9.
+_ROBUST_LAM_TOL = 3e-7
 # (N, digest(S), oa_steps, cluster_tol) -> FIFO list of (H_hi f32 host
 # snapshot, X_dw device pair).  Two slots per key: spin-unrestricted SCF
 # builds TWO Focks per cycle against the same (N, S), and seeding one
@@ -451,7 +544,7 @@ _WARM_SLOTS = 2
 
 
 def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3,
-                 warm: bool = False, dev_put=None):
+                 warm: bool = False, dev_put=None, robust: bool = True):
     """Device-side spectral basis: (lam64 host, basis-tree device arrays).
 
     Returns None when the pencil disqualifies (complex/asymmetric H,
@@ -494,10 +587,17 @@ def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3,
         if dev_put is not None:
             Sm12_dw = dev_put(Sm12_dw)
 
+    # acceptance thresholds: the robust pipeline gates err_lam at the
+    # saturation level (see _ROBUST_LAM_TOL); the legacy fixed-step
+    # paths keep the conservative 1e-10 (only passable on coarse
+    # spectra -- their original validated regime)
+    lam_tol = _ROBUST_LAM_TOL if robust else _WARM_LAM_TOL
     warm_key = None
     H_hi = None
     lam_dw = X_dw = C_dw = None
     device_basis.last_path = "cold"
+    device_basis.last_err = None
+    device_basis.last_steps = None
     if warm:
         warm_key = (H.shape[0], _digest(S), oa_steps, cluster_tol)
         H_hi = H.astype(np.float32)
@@ -510,13 +610,33 @@ def device_basis(H, S, oa_steps: int = 2, cluster_tol: float = 1e-3,
             sfn = _build_device_basis_fn(has_overlap, max(oa_steps, 1),
                                          cluster_tol, seeded=True)
             args = (H_dw, seed) + ((Sm12_dw,) if has_overlap else ())
-            lam_s, X_s, C_s, err_lam, err_s = sfn(*args)
-            if (float(np.asarray(err_lam)) <= _WARM_LAM_TOL
+            lam_s, X_s, C_s, err_lam, err_s, n_steps = sfn(*args)
+            device_basis.last_err = (float(np.asarray(err_lam)),
+                                     float(np.asarray(err_s)))
+            device_basis.last_steps = int(np.asarray(n_steps))
+            if (float(np.asarray(err_lam)) <= lam_tol
                     and float(np.asarray(err_s)) <= _WARM_S_TOL):
                 lam_dw, X_dw, C_dw = lam_s, X_s, C_s
                 device_basis.last_path = "warm"
             else:
                 device_basis.last_path = "rejected"
+    if lam_dw is None and robust:
+        fn = _build_device_basis_fn(has_overlap, oa_steps, cluster_tol,
+                                    robust=True)
+        args = (H_dw,) + ((Sm12_dw,) if has_overlap else ())
+        lam_r, X_r, C_r, err_lam, err_s, n_steps = fn(*args)
+        device_basis.last_err = (float(np.asarray(err_lam)),
+                                 float(np.asarray(err_s)))
+        device_basis.last_steps = int(np.asarray(n_steps))
+        if (float(np.asarray(err_lam)) <= lam_tol
+                and float(np.asarray(err_s)) <= _WARM_S_TOL):
+            lam_dw, X_dw, C_dw = lam_r, X_r, C_r
+        else:
+            # gauge failure: this seed/spectrum combination is outside
+            # the refinement's reach -- tell the caller (who falls back
+            # to the host f64 basis) instead of shipping a bad basis
+            device_basis.last_path = "gauge_failed"
+            return None
     if lam_dw is None:
         fn = _build_device_basis_fn(has_overlap, oa_steps, cluster_tol)
         args = (H_dw,) + ((Sm12_dw,) if has_overlap else ())
@@ -1286,15 +1406,20 @@ class SpectralRunner:
             # acceptable until a robust device seed lands.  'device'
             # stays opt-in (accurate at N<~1000 spectra: e53 4.3e-7).
             basis_mode = "host"
-        self._basis_is_device = basis_mode == "device"
         self._ritz_cache: dict = {}
+        out = None
         if basis_mode == "device":
             out = device_basis(
                 H, S,
                 warm=bool(getattr(exec_cfg, "spectral_warm_basis", False)),
                 dev_put=put_fn)
             if out is None:
-                return
+                # robust gauge refused (or the pencil disqualifies):
+                # fall back to the host f64 basis rather than losing the
+                # spectral route -- the host path re-checks eligibility
+                basis_mode = "host"
+        self._basis_is_device = basis_mode == "device"
+        if basis_mode == "device":
             lam64, lam_dw, C_dw = out
             self.lam64 = lam64
             basis_tree = {
