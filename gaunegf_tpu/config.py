@@ -212,6 +212,17 @@ class ExecutionConfig:
     # and the cold eigh is cheap on a healthy link (e56: 0.6 s at
     # N=2000), so the gate only pays off for well-separated spectra.
     spectral_warm_basis: bool = False
+    # near-pole accuracy guard (round-5, VERDICT r4 item 5): the fast and
+    # mixed LU tiers floor at ~cond * u_res, which silently violates their
+    # accuracy contract on real-axis grid points close to a bare
+    # eigenvalue of the (H, S) pencil (PARITY.md round-4 caveat; measured
+    # 1.66e-1 at dist 4.4e-7, e41).  When True, LU-path dispatches on
+    # such grids emit a RuntimeWarning (host-side, once per grid,
+    # distances against the cached spectral-basis eigenvalues) suggesting
+    # solver='auto'/'spectral' or the high/exact tiers.  The spectral
+    # route itself needs no guard: its deflated assembly serves arbitrary
+    # pole distances within contract.
+    near_pole_warn: bool = True
     # distribute the LU factorization itself over the 'm' mesh axis
     # (zlinalg.zsolve_dist: panel-cyclic columns, one broadcast per
     # panel).  Off by default: the replicated LU has no broadcast latency

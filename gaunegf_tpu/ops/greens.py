@@ -1597,6 +1597,7 @@ class EnergyEngine:
         self.H_s = self._put_cached(self.H_s)
         self.S_s = self._put_cached(self.S_s)
         self._params_dev = {}          # content digest -> device split tree
+        self._pole_checked = set()     # grid digests already guard-checked
 
     def _mesh_key(self):
         if self.mesh is None:
@@ -1785,9 +1786,58 @@ class EnergyEngine:
                 self._H_host, self._S_host, self.provider, cfg, self.mesh)
         return self._spectral_fb
 
+    def _near_pole_guard(self, E):
+        """Warn when a fast/mixed LU dispatch is asked for near-pole
+        real-axis points, where the refined-f32 tier floors at
+        cond * u_res above its accuracy contract (PARITY.md round-4
+        caveat; e41: error 1.66e-1 at pole distance 4.4e-7 vs the 2e-6
+        mixed contract).  Host-side, once per (system, grid): distances
+        are measured against the bare (H, S) pencil eigenvalues -- the
+        same basis the spectral route uses, through its content-keyed
+        cache, so SCF cycles pay at most one host eigh per Fock and
+        nothing when the spectral route already ran.  Contour and
+        eta-broadened grids pass untouched (|Im E| bounds the pole
+        distance); complex or non-symmetric pencils have no cheap
+        characterization and are skipped silently."""
+        cfg = self.exec_cfg
+        if cfg.precision not in ("fast", "mixed") or not cfg.near_pole_warn:
+            return
+        E = np.asarray(E)
+        if E.size == 0:
+            return
+        key = hash(E.tobytes())
+        if key in self._pole_checked:
+            return
+        self._pole_checked.add(key)
+        thresh = cfg.spectral_dist_f32
+        z = E.astype(np.complex128).ravel()
+        cand = np.abs(z.imag) < thresh
+        if not cand.any():
+            return
+        from gaunegf_tpu.ops.spectral import spectral_basis
+        basis = spectral_basis(self._H_host, self._S_host)
+        if basis is None:
+            return
+        lam = basis[0]
+        d = np.abs(z[cand][:, None] - lam[None, :]).min(axis=1)
+        dmin = float(d.min())
+        if dmin < thresh:
+            import warnings
+            warnings.warn(
+                f"LU '{cfg.precision}' tier: {int((d < thresh).sum())} grid "
+                f"point(s) within {thresh:g} of a bare eigenvalue of the "
+                f"(H, S) pencil (closest {dmin:.2e}); the refined-f32 solve "
+                f"floors at cond * u_res there and can exceed its accuracy "
+                f"contract (measured up to 1.7e-1 at dist 4.4e-7 -- see "
+                f"PARITY.md).  Use solver='auto'/'spectral' (pole-deflated, "
+                f"in-contract at any distance) or precision='high'/'exact', "
+                f"or set near_pole_warn=False to silence.",
+                RuntimeWarning, stacklevel=3)
+
     def _gr_sum_lu(self, E, w, epilog=None):
         """The LU engine family (warm / continuation / dw / mp / standard)."""
         from gaunegf_tpu.utils.logging import perf_span
+        self._near_pole_guard(E)
 
         def _ep(out):
             return np.imag(out) if epilog == "im" else out
@@ -1942,6 +1992,7 @@ class EnergyEngine:
         return self._gless_sum_lu(E, w, contact)
 
     def _gless_sum_lu(self, E, w, contact: Optional[int] = None):
+        self._near_pole_guard(E)
         if self._use_warm():
             return self._warm_sum("gless", E, w, contact)
         fn, params = self.provider.total_apply()
