@@ -47,11 +47,11 @@ __all__ = ["BetheGeometry", "BetheAtomGF", "BetheSelfEnergy"]
 # Jitted fixed points (bulk + surface)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_iter", "update"))
+@partial(jax.jit, static_argnames=("max_iter", "update", "exclusion"))
 def bethe_sigma_k(E, H, Slist, Vlist, eta,
                   conv=SURFACE_GREEN_CONVERGENCE, mix=SURFACE_BETHE_MIX,
                   max_iter=SURFACE_MAX_ITER_BETHE, update="jacobi",
-                  sig0=None):
+                  sig0=None, exclusion=True):
     """Bulk 12-direction Dyson fixed point (surfGBethe.py:957-1030).
 
     sigma_k[k] satisfies: sigma_k[k] = B_k g_k B_k+ with
@@ -64,6 +64,11 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
     update='seidel': the reference's within-iteration order (0..11 with the
     opposite slot already refreshed for k >= 6) for bitwise comparison.
     Both converge to the same fixed point.
+
+    exclusion=False drops the opposite-direction term: g is the SAME for
+    every direction (one 9x9 inverse per sweep) -- the explicit
+    all-neighbour lattice closure of surfG3D.surfGAt.sigmaK
+    (surfG3D.py:843-903), as opposed to surfGBethe's tree closure.
     """
     cdt = jnp.result_type(E, H.dtype, jnp.complex64)
     A = (E - 1j * eta) * jnp.eye(DIM, dtype=cdt) - H
@@ -89,7 +94,10 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
             count, diff, sig, _ = state
             sig_old = sig
             sig_tot = jnp.sum(sig, axis=0)
-            gk = zl.zinv(A[None] - sig_tot[None] + sig[pair])  # (12, 9, 9)
+            if exclusion:
+                gk = zl.zinv(A[None] - sig_tot[None] + sig[pair])  # (12,9,9)
+            else:
+                gk = zl.zinv(A - sig_tot)[None]     # one shared inverse
             sig = mix * zl._mm(zl._mm(B, gk), Bd) \
                 + (1 - mix) * sig_old
             diff = jnp.max(jnp.abs(sig - sig_old)) / jnp.maximum(
@@ -102,7 +110,10 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
             sig_tot = jnp.sum(sig, axis=0)
 
             def inner(k, sig):
-                gk = zl.zinv(A - sig_tot + sig[pair[k]])
+                if exclusion:
+                    gk = zl.zinv(A - sig_tot + sig[pair[k]])
+                else:
+                    gk = zl.zinv(A - sig_tot)
                 new = mix * zl._mm(zl._mm(B[k], gk), Bd[k]) \
                     + (1 - mix) * sig_old[k]
                 return sig.at[k].set(new)
@@ -125,19 +136,22 @@ def bethe_sigma_k(E, H, Slist, Vlist, eta,
     return sig
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "exclusion"))
 def bethe_sigma_surface(E, H, Slist, Vlist, eta,
                         conv=SURFACE_GREEN_CONVERGENCE,
                         mix=SURFACE_BETHE_MIX,
-                        max_iter=SURFACE_MAX_ITER_BETHE, sig0=None):
+                        max_iter=SURFACE_MAX_ITER_BETHE, sig0=None,
+                        exclusion=True):
     """Surface self-energies: re-relax only the 6 in-plane directions on top
     of the bulk solution (surfGBethe.py:1032-1108); the 3 downward
     out-of-plane slots keep their bulk values.  Returns (9, 9, 9).
 
     With sig0, the bulk fixed point warm-starts from a previous energy's
-    solution; also returns the converged bulk state for chaining."""
+    solution; also returns the converged bulk state for chaining.
+    exclusion=False selects surfG3D.surfGAt's all-neighbour bulk closure
+    (the surface sweep itself is identical in both references)."""
     sig_bulk = bethe_sigma_k(E, H, Slist, Vlist, eta, conv, mix, max_iter,
-                             sig0=sig0)
+                             sig0=sig0, exclusion=exclusion)
     sig_surf0 = sig_bulk[:9]
     cdt = sig_surf0.dtype
     A = (E - 1j * eta) * jnp.eye(DIM, dtype=cdt) - H
@@ -405,18 +419,24 @@ class BetheAtomGF(_CompatMixin):
     can treat the lattice as a closed system.
     """
 
-    def __init__(self, H, Slist, Vlist, eta=ETA, T=TEMPERATURE):
+    def __init__(self, H, Slist, Vlist, eta=ETA, T=TEMPERATURE,
+                 closure="bethe"):
         H = np.asarray(H, dtype=float)
         Slist = np.asarray(Slist, dtype=float)
         Vlist = np.asarray(Vlist, dtype=float)
         assert H.shape == (DIM, DIM)
         assert Slist.shape == (NN, DIM, DIM)
         assert Vlist.shape == (NN, DIM, DIM)
+        # 'bethe': opposite-direction exclusion in the bulk Dyson equation
+        # (surfGBethe.py:957-1030); 'lattice': explicit all-neighbour sums
+        # (surfG3D.py:843-903, surfGAt's closure)
+        assert closure in ("bethe", "lattice"), closure
         self.H = H
         self.Slist = Slist
         self.Vlist = Vlist
         self.eta = float(eta)
         self.T = float(T)
+        self.closure = closure
         self.fermi = None
         self._rebuild_extended()
 
@@ -453,24 +473,33 @@ class BetheAtomGF(_CompatMixin):
                 "V": np.asarray(self.Vlist), "eta": np.float64(self.eta)}
 
     def total_apply(self):
-        return _atom_total_fn, self.params()
+        fn = _atom_total_fn if self.closure == "bethe" else _atom_total_lat_fn
+        return fn, self.params()
 
     def contact_apply(self, i):
-        return _atom_total_fn, self.params()
+        return self.total_apply()
 
     def num_contacts(self):
         return 1
 
     # host-facing methods ----------------------------------------------
     def sigma_k(self, E, conv=SURFACE_GREEN_CONVERGENCE,
-                mix=SURFACE_BETHE_MIX):
+                mix=SURFACE_BETHE_MIX, sig0=None):
         from gaunegf_tpu.ops.complexio import call_complex_safe
-        return call_complex_safe(_sigma_k_fn, self.params(), complex(E))
+        if sig0 is not None:
+            fn = (_sigma_k_warm_fn if self.closure == "bethe"
+                  else _sigma_k_lat_warm_fn)
+            p = dict(self.params())
+            p["sig0"] = np.asarray(sig0, dtype=complex)
+            return call_complex_safe(fn, p, complex(E))
+        fn = _sigma_k_fn if self.closure == "bethe" else _sigma_k_lat_fn
+        return call_complex_safe(fn, self.params(), complex(E))
 
     def sigma(self, E, conv=SURFACE_GREEN_CONVERGENCE,
               mix=SURFACE_BETHE_MIX):
         from gaunegf_tpu.ops.complexio import call_complex_safe
-        return call_complex_safe(_sigma_surf_fn, self.params(), complex(E))
+        fn = _sigma_surf_fn if self.closure == "bethe" else _sigma_surf_lat_fn
+        return call_complex_safe(fn, self.params(), complex(E))
 
     def sigmaTot(self, E, conv=SURFACE_GREEN_CONVERGENCE):
         """Extended-system total self-energy for density.py-style use
@@ -510,16 +539,46 @@ def _sigma_k_fn(params, E):
                          params["eta"])
 
 
+def _sigma_k_lat_fn(params, E):
+    return bethe_sigma_k(E, params["H"], params["S"], params["V"],
+                         params["eta"], exclusion=False)
+
+
+def _sigma_k_warm_fn(params, E):
+    return bethe_sigma_k(E, params["H"], params["S"], params["V"],
+                         params["eta"], sig0=params["sig0"])
+
+
+def _sigma_k_lat_warm_fn(params, E):
+    return bethe_sigma_k(E, params["H"], params["S"], params["V"],
+                         params["eta"], sig0=params["sig0"],
+                         exclusion=False)
+
+
 def _sigma_surf_fn(params, E):
     return bethe_sigma_surface(E, params["H"], params["S"], params["V"],
                                params["eta"])
 
 
-def _atom_total_fn(params, E):
-    """Extended-system Sigma: per-site diagonal blocks sum(sigma_k) -
-    sigma_k[opposite] (surfGBethe.py:1129-1136)."""
-    sig_k = bethe_sigma_k(E, params["H"], params["S"], params["V"],
-                          params["eta"])
+def _sigma_surf_lat_fn(params, E):
+    return bethe_sigma_surface(E, params["H"], params["S"], params["V"],
+                               params["eta"], exclusion=False)
+
+
+def _sigma_surf_lat_warm_fn(params, E):
+    """Lattice-closure surface sweep with a seeded bulk fixed point;
+    returns (sig_surf, sig_bulk) so the caller can chain the bulk state
+    across energies (surfG3D.py:877-879 sigmaKprev semantics)."""
+    return bethe_sigma_surface(E, params["H"], params["S"], params["V"],
+                               params["eta"], sig0=params["sig0"],
+                               exclusion=False)
+
+
+def _atom_total_embed(sig_k):
+    """Extended-system embedding: per-site diagonal blocks sum(sigma_k) -
+    sigma_k[opposite] (surfGBethe.py:1129-1136 == surfG3D.py:1024-1031 --
+    both references keep the exclusion in the EMBEDDING even though their
+    bulk closures differ)."""
     tot = jnp.sum(sig_k, axis=0)
     n = DIM * (NN + 1)
     out = jnp.zeros((n, n), dtype=sig_k.dtype)
@@ -527,6 +586,17 @@ def _atom_total_fn(params, E):
         blk = tot - sig_k[PAIR[k]]
         out = out.at[k * DIM:(k + 1) * DIM, k * DIM:(k + 1) * DIM].set(blk)
     return out
+
+
+def _atom_total_fn(params, E):
+    return _atom_total_embed(bethe_sigma_k(
+        E, params["H"], params["S"], params["V"], params["eta"]))
+
+
+def _atom_total_lat_fn(params, E):
+    return _atom_total_embed(bethe_sigma_k(
+        E, params["H"], params["S"], params["V"], params["eta"],
+        exclusion=False))
 
 
 # ---------------------------------------------------------------------------
