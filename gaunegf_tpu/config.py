@@ -194,13 +194,16 @@ class ExecutionConfig:
     # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK
     # divide-and-conquer drivers, the accuracy reference; 1-3 s at
     # N=2000) or 'device' (f32 XLA eigh + Ogita-Aishima double-word
-    # refinement, all-MXU).  'auto' = 'host': the TPU QDWH eigh's
-    # backward error is bf16-grade (e57: resid 4.9e-3 -- its internal
-    # matmuls ignore the precision config) and the OA refinement cannot
-    # recover pairs whose seed mixing exceeds their gap, so the device
-    # basis breaks the mixed contract on dense spectra (end-to-end
-    # 3.7e-4 at N=2000 vs host's 5.6e-7; fine at N<~1000: e53 4.3e-7).
-    # 'device' stays opt-in for coarse spectra / eigh-bottlenecked hosts.
+    # refinement, all-MXU).  'auto' = 'device' on accelerator backends,
+    # 'host' on CPU (round 5).  The round-4 recall (raw QDWH eigh has
+    # bf16-grade backward error, e57: resid 4.9e-3; fixed-step OA could
+    # not recover close pairs -- end-to-end 3.7e-4 at N=2000) was closed
+    # by the robust pipeline (clamped close-pair rotations +
+    # Newton-Schulz polar re-orthonormalization in a to-tolerance
+    # while_loop) and validated on device by e60: N=2000 lam err
+    # 2.1e-11 vs host f64, end-to-end truth error 5.59e-07 == the host
+    # basis exactly, 2.5x grid throughput (device-resident rotations).
+    # A refused robust gauge falls back to the host basis automatically.
     spectral_basis: str = "auto"
     # warm-start the device basis across Focks: seed the Ogita-Aishima
     # refinement with the previous accepted eigenvectors of the same

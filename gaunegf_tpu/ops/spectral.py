@@ -1393,19 +1393,27 @@ class SpectralRunner:
             self.exec_cfg = exec_cfg
         basis_mode = exec_cfg.spectral_basis
         if basis_mode == "auto":
-            # 'auto' resolves to the HOST f64 eigh everywhere.  The
-            # device basis (f32 XLA eigh + Ogita-Aishima dw refinement)
-            # was the auto choice on accelerators for one session, but
-            # e57 measured the TPU QDWH eigh's backward error at bf16
-            # grade (resid 4.9e-3, lam err 3e-4 at N=2000; its internal
-            # matmuls ignore jax.default_matmul_precision), and the OA
-            # refinement cannot recover pairs whose seed mixing exceeds
-            # their gap: end-to-end gr_sum error 3.7e-4 at N=2000 vs the
-            # host basis's 5.6e-7.  With the divide-and-conquer host
-            # drivers (evd/gvd) the per-Fock eigh is 1-3 s at N=2000 --
-            # acceptable until a robust device seed lands.  'device'
-            # stays opt-in (accurate at N<~1000 spectra: e53 4.3e-7).
-            basis_mode = "host"
+            # 'auto' = the ROBUST device basis on accelerator backends,
+            # host f64 eigh on CPU.  History: the raw TPU QDWH f32 eigh
+            # has bf16-grade backward error (e57: resid 4.9e-3 at
+            # N=2000; its internal matmuls ignore the precision config)
+            # and the fixed-step OA refinement could not recover pairs
+            # whose seed mixing exceeds their gap, so round 4 recalled
+            # 'auto' to 'host' (end-to-end 3.7e-4 vs host 5.6e-7).  The
+            # round-5 robust pipeline (clamped refine_close +
+            # Newton-Schulz polar re-orthonormalization in a
+            # to-tolerance while_loop, commit 9b49482) was validated on
+            # device by e60: N=2000 lam err 2.1e-11, END-TO-END truth
+            # error 5.59e-07 == the host basis exactly, and 2.5x the
+            # grid throughput (device-resident rotations) -- see
+            # BASELINE.md round-5.  A refused robust gauge still falls
+            # back to the host basis below, so accuracy never depends
+            # on the flip.
+            try:
+                on_accel = jax.default_backend() != "cpu"
+            except Exception:
+                on_accel = False
+            basis_mode = "device" if on_accel else "host"
         self._ritz_cache: dict = {}
         out = None
         if basis_mode == "device":

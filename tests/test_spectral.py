@@ -591,3 +591,32 @@ def test_device_basis_warm_overlap_engine_accuracy():
     eng2.gr_sum(zc, wc)
     assert sp.device_basis.last_path == "cold"
     sp._WARM_X_CACHE.clear()
+
+
+def test_basis_auto_resolution_by_backend(monkeypatch):
+    """'auto' = robust device basis on accelerators, host f64 eigh on CPU
+    (round 5, e60 device validation); a CPU test session must resolve to
+    'host' and an accelerator-reporting backend to 'device'."""
+    import jax as _jax
+
+    from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
+    from gaunegf_tpu.ops.greens import EnergyEngine
+
+    n = 64
+    rng = np.random.default_rng(3)
+    H = -1.0 * (np.eye(n, k=1) + np.eye(n, k=-1)) \
+        + np.diag(0.1 * rng.standard_normal(n))
+    S = np.eye(n)
+    g = ConstantSelfEnergy(H, S, [np.arange(4), np.arange(n - 4, n)],
+                           sig1=-0.1j)
+
+    eng = EnergyEngine(H, S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    r = eng._spectral_runner()
+    assert r is not None and not r._basis_is_device   # CPU session -> host
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    eng2 = EnergyEngine(H + 1e-9 * np.eye(n), S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral"))
+    r2 = eng2._spectral_runner()
+    assert r2 is not None and r2._basis_is_device     # accel -> device
