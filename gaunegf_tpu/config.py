@@ -202,8 +202,9 @@ class ExecutionConfig:
     # Newton-Schulz polar re-orthonormalization in a to-tolerance
     # while_loop) and validated on device by e60: N=2000 lam err
     # 2.1e-11 vs host f64, end-to-end truth error 5.59e-07 == the host
-    # basis exactly, 2.5x grid throughput (device-resident rotations).
-    # A refused robust gauge falls back to the host basis automatically.
+    # basis exactly, grid throughput >= host (e60/e61), and the 1-3 s
+    # per-Fock host eigh leaves the SCF critical path.  A refused
+    # robust gauge falls back to the host basis automatically.
     spectral_basis: str = "auto"
     # warm-start the device basis across Focks: seed the Ogita-Aishima
     # refinement with the previous accepted eigenvectors of the same

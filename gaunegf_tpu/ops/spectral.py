@@ -1404,9 +1404,10 @@ class SpectralRunner:
             # Newton-Schulz polar re-orthonormalization in a
             # to-tolerance while_loop, commit 9b49482) was validated on
             # device by e60: N=2000 lam err 2.1e-11, END-TO-END truth
-            # error 5.59e-07 == the host basis exactly, and 2.5x the
-            # grid throughput (device-resident rotations) -- see
-            # BASELINE.md round-5.  A refused robust gauge still falls
+            # error 5.59e-07 == the host basis exactly, grid throughput
+            # >= host, and the 1-3 s per-Fock host eigh leaves the SCF
+            # critical path -- see BASELINE.md round-5.  A refused
+            # robust gauge still falls
             # back to the host basis below, so accuracy never depends
             # on the flip.
             try:
