@@ -71,3 +71,55 @@ def _xla_maps_guard(request):
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# Slow-marking (round 5, VERDICT r4 item 6): the ~30 tests below each took
+# >= 30 s in the round-5 durations run (full suite 61 min on a 1-core
+# host); the CI fast lane deselects them with -m "not slow" while the
+# nightly lane and a plain `pytest tests/` run everything.  Marked
+# centrally so the list is maintained in one place; each family keeps at
+# least one cheap representative unmarked (e.g. zsolve_dist [4-kar]/
+# [4-bf3], the core spectral accuracy tests).  The dryrun entry tests are
+# also covered by the workflow's explicit multichip step.
+# ---------------------------------------------------------------------------
+_SLOW_TESTS = {
+    "test_model_parallel.py::test_zsolve_dist_matches_serial[2-bf3]",
+    "test_model_parallel.py::test_zsolve_dist_matches_serial[2-kar]",
+    "test_model_parallel.py::test_zsolve_dist_matches_serial[2-hi]",
+    "test_model_parallel.py::test_zsolve_dist_matches_serial[4-hi]",
+    "test_model_parallel.py::test_zsolve_dist_pads_uneven_sizes",
+    "test_spectral.py::test_spectral_near_pole_grid",
+    "test_spectral.py::test_defl_union_ritz_sharded",
+    "test_spectral.py::test_defl_union_ritz_refinement",
+    "test_spectral.py::test_spectral_forced_dw_mode",
+    "test_spectral.py::test_on_pole_point_exact_hit",
+    "test_spectral.py::test_spectral_deflated_segment_single_dispatch",
+    "test_spectral.py::test_spectral_gless_near_pole_deflated",
+    "test_spectral.py::test_spectral_transmission_matches_strict",
+    "test_spectral.py::test_spectral_density_neq_matches_lu",
+    "test_zlinalg.py::test_blocked_solve_under_shard_map",
+    "test_entry.py::test_dryrun_multichip_self_provisions",
+    "test_entry.py::test_dryrun_multichip_inline",
+    "test_precision_tiers.py::test_exact_tier_energy_dependent_chain_provider",
+    "test_density.py::test_adaptive_routes",
+    "test_pallas_panel.py::test_psplit_panel_matches_split",
+    "test_lattice3d.py::test_lattice3d_kspace_dw_provider",
+    "test_lattice3d.py::test_lattice3d_kspace_warm_matches_cold_sweep",
+    "test_kspace.py::test_sigma_down_dw_sym_reduction_exact",
+    "test_kspace.py::test_sigma_down_dw_matches_c128",
+    "test_bethe.py::test_warm_start_transmission_matches_cold",
+    "test_density.py::test_contour_equals_real_axis_route",
+    "test_iv_sweep.py::test_iv_sweep_sharded",
+    "test_chain1d.py::test_chain_warm_transmission_matches_cold",
+    "test_bethe.py::test_high_tier_engine_uses_bethe_dw",
+    "test_lowrank.py::test_transmission_lowrank_equals_dense",
+    "test_transport.py::test_current_matches_reference",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid.split("/")[-1]
+        if nid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
