@@ -194,18 +194,26 @@ class ExecutionConfig:
     # where the once-per-Fock eigendecomposition runs: 'host' (f64 LAPACK
     # divide-and-conquer drivers, the accuracy reference; 1-3 s at
     # N=2000) or 'device' (f32 XLA eigh + Ogita-Aishima double-word
-    # refinement, all-MXU).  'auto' = 'device' on accelerator backends,
-    # 'host' on CPU (round 5).  The round-4 recall (raw QDWH eigh has
-    # bf16-grade backward error, e57: resid 4.9e-3; fixed-step OA could
-    # not recover close pairs -- end-to-end 3.7e-4 at N=2000) was closed
-    # by the robust pipeline (clamped close-pair rotations +
+    # refinement, all-MXU).  'auto' = 'device' on accelerator backends
+    # when N >= spectral_basis_device_min_n, else 'host' (round 5).  The
+    # round-4 recall (raw QDWH eigh has bf16-grade backward error, e57)
+    # was closed by the robust pipeline (clamped close-pair rotations +
     # Newton-Schulz polar re-orthonormalization in a to-tolerance
-    # while_loop) and validated on device by e60: N=2000 lam err
-    # 2.1e-11 vs host f64, end-to-end truth error 5.59e-07 == the host
-    # basis exactly, grid throughput >= host (e60/e61), and the 1-3 s
-    # per-Fock host eigh leaves the SCF critical path.  A refused
-    # robust gauge falls back to the host basis automatically.
+    # while_loop), validated on device by e60: N=2000 lam err 2.1e-11
+    # vs host f64, end-to-end truth error 5.59e-07 == the host basis
+    # exactly.  Why size-gated: grids run the same speed on either basis
+    # (both trees are device-resident, e61), so the basis choice is a
+    # pure setup-cost race per Fock -- host f64 evd eigh costs 1.8 s at
+    # N=2000 / 13.3 s at N=4096 / ~2 min at 8k (O(N^3) on one core),
+    # while the device pipeline's warm wall is ~3 s nearly flat; the
+    # interleaved same-window SCF A/B (e63) measured host-basis cycles
+    # 8.5-9.0 s vs device 11.0-12.8 s at N=2000, so small-N SCF keeps
+    # the host eigh and large N moves on-chip.  A refused robust gauge
+    # falls back to the host basis automatically.
     spectral_basis: str = "auto"
+    # N at/above which 'auto' picks the device basis on accelerators
+    # (see spectral_basis).  0 = always device on accelerators.
+    spectral_basis_device_min_n: int = 3072
     # warm-start the device basis across Focks: seed the Ogita-Aishima
     # refinement with the previous accepted eigenvectors of the same
     # (N, S) system, skipping the f32 eigh.  Gated on the refined

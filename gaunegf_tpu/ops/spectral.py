@@ -1393,28 +1393,31 @@ class SpectralRunner:
             self.exec_cfg = exec_cfg
         basis_mode = exec_cfg.spectral_basis
         if basis_mode == "auto":
-            # 'auto' = the ROBUST device basis on accelerator backends,
-            # host f64 eigh on CPU.  History: the raw TPU QDWH f32 eigh
-            # has bf16-grade backward error (e57: resid 4.9e-3 at
-            # N=2000; its internal matmuls ignore the precision config)
-            # and the fixed-step OA refinement could not recover pairs
-            # whose seed mixing exceeds their gap, so round 4 recalled
-            # 'auto' to 'host' (end-to-end 3.7e-4 vs host 5.6e-7).  The
-            # round-5 robust pipeline (clamped refine_close +
+            # 'auto' = the ROBUST device basis on accelerator backends
+            # for N >= spectral_basis_device_min_n, host f64 eigh
+            # otherwise.  The robust pipeline (clamped refine_close +
             # Newton-Schulz polar re-orthonormalization in a
-            # to-tolerance while_loop, commit 9b49482) was validated on
-            # device by e60: N=2000 lam err 2.1e-11, END-TO-END truth
-            # error 5.59e-07 == the host basis exactly, grid throughput
-            # >= host, and the 1-3 s per-Fock host eigh leaves the SCF
-            # critical path -- see BASELINE.md round-5.  A refused
-            # robust gauge still falls
+            # to-tolerance while_loop, commit 9b49482) closed the
+            # round-4 accuracy recall on device (e60: N=2000 lam err
+            # 2.1e-11, end-to-end truth 5.59e-07 == host exactly); the
+            # size gate is a setup-cost race, not accuracy: grids run
+            # identically on either basis (both trees device-resident,
+            # e61), host evd eigh is 1.8 s at N=2000 but 13.3 s at
+            # N=4096 and O(N^3) beyond, while the device pipeline's
+            # warm wall stays ~flat -- and the same-window SCF A/B
+            # (e63) showed host-basis cycles faster at N=2000.  See
+            # BASELINE.md round-5.  A refused robust gauge still falls
             # back to the host basis below, so accuracy never depends
-            # on the flip.
+            # on the resolution.
             try:
                 on_accel = jax.default_backend() != "cpu"
             except Exception:
                 on_accel = False
-            basis_mode = "device" if on_accel else "host"
+            min_n = int(getattr(exec_cfg, "spectral_basis_device_min_n",
+                                3072) or 0)
+            N_pencil = int(np.asarray(H).shape[-1])
+            basis_mode = ("device" if (on_accel and N_pencil >= min_n)
+                          else "host")
         self._ritz_cache: dict = {}
         out = None
         if basis_mode == "device":

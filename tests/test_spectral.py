@@ -594,9 +594,11 @@ def test_device_basis_warm_overlap_engine_accuracy():
 
 
 def test_basis_auto_resolution_by_backend(monkeypatch):
-    """'auto' = robust device basis on accelerators, host f64 eigh on CPU
-    (round 5, e60 device validation); a CPU test session must resolve to
-    'host' and an accelerator-reporting backend to 'device'."""
+    """'auto' = robust device basis on accelerators for
+    N >= spectral_basis_device_min_n, host f64 eigh otherwise (round 5;
+    e60 validated device accuracy, e63/e46 set the size gate): a CPU
+    session resolves to 'host'; an accelerator-reporting backend picks
+    'device' only at/above the threshold."""
     import jax as _jax
 
     from gaunegf_tpu.models.selfenergy import ConstantSelfEnergy
@@ -619,4 +621,10 @@ def test_basis_auto_resolution_by_backend(monkeypatch):
     eng2 = EnergyEngine(H + 1e-9 * np.eye(n), S, g, ExecutionConfig(
         precision="mixed", energy_chunk=4, solver="spectral"))
     r2 = eng2._spectral_runner()
-    assert r2 is not None and r2._basis_is_device     # accel -> device
+    assert r2 is not None and not r2._basis_is_device  # below min_n: host
+
+    eng3 = EnergyEngine(H + 2e-9 * np.eye(n), S, g, ExecutionConfig(
+        precision="mixed", energy_chunk=4, solver="spectral",
+        spectral_basis_device_min_n=0))
+    r3 = eng3._spectral_runner()
+    assert r3 is not None and r3._basis_is_device      # accel + gate off
